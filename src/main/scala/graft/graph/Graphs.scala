@@ -1,0 +1,122 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph construction over the harness parquet tables + generic edge-table hygiene.
+  *
+  * The canonical graph representation is a symmetric edge DataFrame
+  * `(src BIGINT, dst BIGINT, w BIGINT)` storing BOTH directions of every undirected
+  * edge with equal weight and no self-loops — the invariants the reference validates in
+  * `/root/reference/kaminpar-shm/datastructures/csr_graph.h:486-496`. All downstream
+  * operators (PageRank, CC, LP, the partitioner) consume this shape.
+  *
+  * Scale notes: every builder here is a single shuffle hash-aggregation; at 100 TB the
+  * edge table would be bucketed by `src` on storage so the per-superstep
+  * `edges JOIN state ON src = node` is a co-partitioned join with no re-shuffle of the
+  * (much larger) edge side.
+  */
+object Graphs {
+
+  /** Offset separating part-node ids from order-node ids in the bipartite graph so the
+    * two key spaces never collide (both are dense small ints in the generator).
+    * SQL-expressible so DuckDB oracles can reproduce it exactly.
+    */
+  val PartOffset = 100000000L
+
+  private def pq(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$table.parquet")
+
+  /** Bipartite order--part link graph from `lineitem`: an undirected edge between
+    * order node `l_orderkey` and part node `l_partkey + PartOffset`, weight = number of
+    * lineitems connecting them. Returned symmetric (both directions).
+    *
+    * This is the engine's stand-in for the url->url web link graph: same shape
+    * (two id spaces dictionary-encoded into one Long domain, heavy-tailed part
+    * degrees play the hub-page role).
+    */
+  def bipartite(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = pq(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("a"), (col("l_partkey") + PartOffset).as("b"))
+    val dir = li.groupBy(col("a"), col("b")).agg(count(lit(1)).cast("long").as("w"))
+    symmetrize(dir.select(col("a").as("src"), col("b").as("dst"), col("w")))
+  }
+
+  /** Co-purchase graph over parts: an undirected edge between two parts that appear in
+    * the same order, weight = number of shared orders. Contains triangles (unlike the
+    * bipartite graph), so it is the triangle-counting / clustering-quality testbed.
+    * Self-join bounded by orders' small lineitem counts (<= ~7), so the fan-out per
+    * order is tiny; at web scale the same build would pre-filter giant "orders" (hub
+    * containers) the way we drop high-degree shingles in MinHash-LSH.
+    */
+  def copurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = pq(spark, sfDir, "lineitem").select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val a = li.as("a")
+    val b = li.as("b")
+    val pairs = a
+      .join(b, col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("lo"), col("b.pk").as("hi"))
+    val dir = pairs.groupBy(col("lo"), col("hi")).agg(count(lit(1)).cast("long").as("w"))
+    symmetrize(dir.select(col("lo").as("src"), col("hi").as("dst"), col("w")))
+  }
+
+  /** Symmetrize + dedup a directed edge list: drop self-loops, aggregate duplicate
+    * (src,dst) pairs (summing weights over both input directions), and emit both
+    * directions with equal weight — matching the reference's "reverse edges must carry
+    * equal weight" contract (`kaminpar.h:904-910`).
+    * One shuffle: canonicalize to (min,max) then hash-agg, then explode 2x map-side.
+    */
+  def symmetrize(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .filter(col("src") =!= col("dst"))
+      .select(
+        least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"),
+        col("w")
+      )
+      .groupBy(col("lo"), col("hi"))
+      .agg(sum(col("w")).as("w"))
+    canon
+      .select(col("lo").as("src"), col("hi").as("dst"), col("w"))
+      .unionAll(canon.select(col("hi").as("src"), col("lo").as("dst"), col("w")))
+  }
+
+  /** Weighted + unweighted degree per node. On the symmetric edge table this is a
+    * single map-side-combinable hash aggregation — no join.
+    */
+  def degrees(edges: DataFrame): DataFrame =
+    edges
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("long").as("degree"), sum(col("w")).as("wdegree"))
+
+  /** Vertex table with unit weights: distinct node ids of the symmetric edge table. */
+  def vertices(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("node")).distinct().withColumn("weight", lit(1L))
+
+  /** Exponentially-spaced degree buckets, the reference's main skew-management device
+    * (`kaminpar-common/degree_buckets.h`, `permutator.cc:68`): bucket = floor(log2(deg))+1,
+    * 0 for isolated nodes. Computed as length(bin(deg)) — exact integer bit-length, no
+    * float-log boundary issues at powers of two. Used for hub splitting + AQE skew hints.
+    */
+  def degreeBuckets(edges: DataFrame): DataFrame =
+    degrees(edges).withColumn(
+      "bucket",
+      when(col("degree") === 0L, 0L)
+        .otherwise(length(bin(col("degree"))).cast("long"))
+    )
+
+  /** Structural validation queries (reference `csr_graph.h:486-496` /
+    * `graphutils/graph_validator.h`): returns per-check violation counts; all zero on a
+    * valid graph. Cheap enough to run in tests and as a data-quality gate in prod.
+    */
+  def validate(edges: DataFrame): Map[String, Long] = {
+    val selfLoops = edges.filter(col("src") === col("dst")).count()
+    val nonPositive = edges.filter(col("w") <= 0L).count()
+    val flipped = edges.select(col("dst").as("src"), col("src").as("dst"), col("w"))
+    val asymmetric = edges.unionAll(flipped)
+      .groupBy("src", "dst", "w").agg(count(lit(1)).as("c"))
+      .filter(col("c") =!= 2L)
+      .count()
+    Map("selfLoops" -> selfLoops, "nonPositiveWeight" -> nonPositive, "asymmetric" -> asymmetric)
+  }
+}

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components via alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — the north-star-mandated
+  * algorithm. Converges in O(log n) supersteps (vs O(diameter) for naive min-label
+  * flooding), which is the property that matters on web graphs whose diameter is large.
+  *
+  * Each phase is one shuffle: group the current edge set by node, compute the min of
+  * the neighborhood, re-emit star edges. The edge set only shrinks toward the final
+  * star forest, so per-superstep cost decreases. Deterministic: pure min/grouping, no
+  * randomness. Fixpoint detection compares (count, xor-of-hashes) between rounds — two
+  * scalar aggregates, no expensive except().
+  *
+  * The reference ships a sequential CC tool (`/root/reference/apps/tools/
+  * ConnectedComponentsTool.cc`) as a companion utility; this operator supersedes it
+  * (SURVEY.md P6).
+  */
+object ConnectedComponents {
+
+  /** @param edges symmetric edge table (src, dst, w) — weights ignored.
+    * @return (node BIGINT, component BIGINT) where component = min node id of the
+    *         connected component (exact labels at convergence).
+    */
+  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    // undirected edges as canonical pairs u > v (self-loops impossible downstream)
+    var pairs = edges
+      .filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("u"), least(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    val allNodes = edges.select(col("src").as("node")).distinct().persist()
+
+    def signature(df: DataFrame): (Long, Long) = {
+      // xor-fold of pair hashes: order-independent, overflow-free under ANSI mode
+      val row = df.agg(
+        count(lit(1)).as("c"),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("h")
+      ).first()
+      (row.getLong(0), row.getLong(1))
+    }
+
+    var sig = signature(pairs)
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      // large-star: per node u over full neighborhood Γ(u) (both directions),
+      // m = min(Γ(u) ∪ {u}); connect every strictly larger neighbor to m.
+      val sym = pairs.select(col("u"), col("v"))
+        .unionAll(pairs.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u")).agg(least(min(col("v")), first(col("u"))).as("m"))
+      val large = sym
+        .join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+
+      // small-star: orient larger -> smaller (already canonical in `large`),
+      // per node u with smaller neighbors Γ<(u): m = min; connect u and all of Γ< to m.
+      val minsS = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = large
+        .join(minsS, "u")
+        .select(col("v").as("a"), col("m"), col("u").as("uu"))
+      val rewired = small.select(col("a").as("u"), col("m").as("v"))
+        .unionAll(small.select(col("uu").as("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+
+      val newSig = signature(rewired)
+      converged = newSig == sig
+      sig = newSig
+      pairs = rewired
+      it += 1
+    }
+
+    // final star forest: u -> root v; roots & isolated nodes label themselves
+    allNodes
+      .join(pairs.select(col("u").as("node"), col("v").as("root")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("root"), col("node")).as("component"))
+  }
+}
