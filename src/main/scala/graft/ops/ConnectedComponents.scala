@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.util.Ckpt
 
 /** Connected components via alternating large-star / small-star (Kiveris et al.,
   * "Connected Components in MapReduce and Beyond", SoCC'14) — the north-star-mandated
@@ -26,11 +27,12 @@ object ConnectedComponents {
     */
   def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): DataFrame = {
     // undirected edges as canonical pairs u > v (self-loops impossible downstream)
-    var pairs = edges
-      .filter(col("src") =!= col("dst"))
-      .select(greatest(col("src"), col("dst")).as("u"), least(col("src"), col("dst")).as("v"))
-      .distinct()
-      .localCheckpoint(true)
+    var pairs = Ckpt(
+      edges
+        .filter(col("src") =!= col("dst"))
+        .select(greatest(col("src"), col("dst")).as("u"), least(col("src"), col("dst")).as("v"))
+        .distinct(),
+      "cc-pairs")
 
     val allNodes = edges.select(col("src").as("node")).distinct().persist()
 
@@ -65,11 +67,12 @@ object ConnectedComponents {
       val small = large
         .join(minsS, "u")
         .select(col("v").as("a"), col("m"), col("u").as("uu"))
-      val rewired = small.select(col("a").as("u"), col("m").as("v"))
-        .unionAll(small.select(col("uu").as("u"), col("m").as("v")))
-        .filter(col("u") =!= col("v"))
-        .distinct()
-        .localCheckpoint(true)
+      val rewired = Ckpt(
+        small.select(col("a").as("u"), col("m").as("v"))
+          .unionAll(small.select(col("uu").as("u"), col("m").as("v")))
+          .filter(col("u") =!= col("v"))
+          .distinct(),
+        "cc-pairs")
 
       val newSig = signature(rewired)
       converged = newSig == sig

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.util.Ckpt
 
 /** Label-propagation community detection — the reference's LP clustering kernel
   * (`/root/reference/kaminpar-shm/coarsening/clustering/lp_clusterer.cc` over the
@@ -34,9 +35,9 @@ object LabelPropagation {
       seed: Long = 42L
   ): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("w")).persist()
-    var labels = e.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
+    var labels = Ckpt(
+      e.select(col("src").as("node")).distinct().withColumn("label", col("node")),
+      "lp-labels")
 
     var it = 0
     // converged only after TWO consecutive zero-move rounds: each round activates only
@@ -77,9 +78,9 @@ object LabelPropagation {
 
       val moves = updatedActive.filter(col("moved")).count()
       quietRounds = if (moves == 0L) quietRounds + 1 else 0
-      labels = updatedActive.select(col("node"), col("label"))
-        .unionAll(inactive)
-        .localCheckpoint(true)
+      labels = Ckpt(
+        updatedActive.select(col("node"), col("label")).unionAll(inactive),
+        "lp-labels")
       it += 1
     }
     e.unpersist()

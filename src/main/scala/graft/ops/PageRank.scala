@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.util.Ckpt
 
 /** PageRank as an iterative batch of shuffle-hash-join gather-scatter supersteps
   * (north-star companion operator; standard public semantics — damping 0.85, dangling
@@ -69,7 +70,7 @@ object PageRank {
         )
       it += 1
       if (it % checkpointEvery == 0 && it < iterations) {
-        ranks = ranks.localCheckpoint(true)
+        ranks = Ckpt(ranks, "pr-ranks")
       }
     }
     val out = ranks

@@ -1,0 +1,189 @@
+package graft.partition
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.util.{Ckpt, Log}
+
+/** Distributed LP clustering + contraction — the coarsening half of the partitioner.
+  *
+  * Semantics: the reference's LP clustering (SURVEY O1, `lp_clusterer.cc`) with the
+  * cluster-weight cap enforced by the distributed two-round protocol of
+  * `global_lp_clusterer.cc:429-583` (O23): tentative moves first, then per-cluster
+  * aggregation of incoming weight, and clusters that would exceed the cap keep only a
+  * deterministic ranked prefix (by gain, then hash) whose running weight fits the
+  * remaining capacity — Spark's global view turns the MPI delta/rollback dance into
+  * one aggregation + one window.
+  *
+  * Scale shape per superstep: 2 shuffle joins (gather), 1 hash agg (ratings),
+  * 1 max_by agg (argmax), 1 window over movers grouped by target cluster (capacity
+  * prefix), 1 re-aggregation of cluster weights. All keyed on node/cluster ids —
+  * co-partitioning the edge table by src makes the big join shuffle-free on a real
+  * cluster.
+  */
+object DistCoarsener {
+
+  final case class Level(
+      mapping: DataFrame, // (node, cnode): fine node -> coarse node (sparse ids)
+      coarseEdges: DataFrame, // symmetric (src, dst, w) over coarse ids
+      coarseNodeW: DataFrame // (node, weight) over coarse ids
+  )
+
+  /** One LP clustering run: returns (node, label) with cluster weights <= cap.
+    * Labels start as self; <=maxIter supersteps or until no moves (reference default 5,
+    * `presets.cc:143`).
+    */
+  def lpCluster(
+      spark: SparkSession,
+      edges: DataFrame,
+      nodeW: DataFrame,
+      cap: Long,
+      maxIter: Int = 5,
+      seed: Long = 42L
+  ): DataFrame = {
+    var labels = Ckpt(nodeW.select(col("node"), col("node").as("label"), col("weight")), "lpc-labels")
+
+    var it = 0
+    var quiet = 0
+    while (it < maxIter && quiet < 2) {
+      // alternating deterministic halves (same rationale as community LP: decorrelate
+      // simultaneous neighbor moves, reproducibly)
+      val parity = pmod(xxhash64(col("node"), lit(seed)) + lit(it), lit(2))
+      val active = labels.filter(parity === 0)
+      val inactive = labels.filter(parity =!= 0)
+
+      // cluster weights BEFORE the round (capacity base, conservative: departures
+      // during the round don't free capacity — mirrors the reference's cap check
+      // against the running total)
+      val clusterW = labels.groupBy(col("label")).agg(sum(col("weight")).as("cw"))
+
+      // gather: per (active node, neighbor label) summed edge weight
+      val ratings = edges
+        .join(labels.select(col("node").as("dst"), col("label").as("nl")), "dst")
+        .join(
+          active.select(col("node").as("src"), col("label").as("cur"), col("weight").as("nw")),
+          "src"
+        )
+        .groupBy(col("src"), col("cur"), col("nw"), col("nl"))
+        .agg(sum(col("w")).as("rating"))
+
+      // argmax per node among labels whose CURRENT weight + node weight fits the cap
+      // (pre-filter; the post-protocol below guarantees the cap against concurrent
+      // arrivals). Moving to own label is a no-op, filter it late so `cur` rating is
+      // still available for gain.
+      val candidates = ratings
+        .join(clusterW.select(col("label").as("nl"), col("cw")), "nl")
+        .filter(col("nl") === col("cur") || (col("cw") + col("nw")) <= cap)
+        .withColumn("tb", xxhash64(col("nl"), lit(seed)))
+        .groupBy(col("src"), col("cur"), col("nw"))
+        .agg(
+          max_by(
+            struct(col("nl"), col("rating")),
+            struct(col("rating"), (-col("tb")).as("h"), (-col("nl")).as("n"))
+          ).as("bestS")
+        )
+        .select(
+          col("src").as("node"), col("cur"), col("nw"),
+          col("bestS.nl").as("cand"), col("bestS.rating").as("gain")
+        )
+
+      val movers = candidates.filter(col("cand") =!= col("cur"))
+
+      // O23 capacity protocol: per target cluster, admit movers in (gain desc, hash)
+      // order while the running weight fits the remaining capacity.
+      val capacity = clusterW.select(col("label").as("cand"), (lit(cap) - col("cw")).as("residual"))
+      val wnd = Window
+        .partitionBy(col("cand"))
+        .orderBy(desc("gain"), asc("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val admitted = movers
+        .withColumn("h", xxhash64(col("node"), lit(seed + it)))
+        .join(capacity, "cand")
+        .withColumn("runW", sum(col("nw")).over(wnd))
+        .filter(col("runW") <= col("residual"))
+        .select(col("node"), col("cand"))
+
+      val updated = Ckpt(
+        labels
+          .join(admitted, Seq("node"), "left")
+          .select(
+            col("node"),
+            coalesce(col("cand"), col("label")).as("label"),
+            col("weight")
+          ),
+        "lpc-labels"
+      )
+
+      val moves = admitted.count()
+      Log.info(s"lpCluster superstep $it: moves=$moves")
+      quiet = if (moves == 0L) quiet + 1 else 0
+      labels = updated
+      it += 1
+    }
+    labels.select(col("node"), col("label"))
+  }
+
+  /** Contract a clustering (SURVEY O7): coarse node = cluster label (sparse Long id —
+    * dense relabel is only needed at the driver handoff). One shuffle hash-agg each
+    * for nodes and edges; self-loops dropped.
+    */
+  def contract(edges: DataFrame, nodeW: DataFrame, clustering: DataFrame): Level = {
+    val mapping = clustering.select(col("node"), col("label").as("cnode"))
+    val coarseNodeW = nodeW
+      .join(mapping, "node")
+      .groupBy(col("cnode"))
+      .agg(sum(col("weight")).as("weight"))
+      .select(col("cnode").as("node"), col("weight"))
+    val coarseEdges = edges
+      .join(mapping.select(col("node").as("src"), col("cnode").as("csrc")), "src")
+      .join(mapping.select(col("node").as("dst"), col("cnode").as("cdst")), "dst")
+      .filter(col("csrc") =!= col("cdst"))
+      .groupBy(col("csrc"), col("cdst"))
+      .agg(sum(col("w")).as("w"))
+      .select(col("csrc").as("src"), col("cdst").as("dst"), col("w"))
+    Level(mapping, coarseEdges, coarseNodeW)
+  }
+
+  /** Coarsening driver loop (SURVEY O9): repeat LP+contract while the graph is larger
+    * than `targetN` and each level shrinks >=5%. Every level's artifacts are
+    * checkpointed (lineage truncation + resumability). Returns the stack of levels,
+    * finest first, plus the final coarse (edges, nodeW).
+    */
+  def coarsen(
+      spark: SparkSession,
+      edges0: DataFrame,
+      nodeW0: DataFrame,
+      k: Int,
+      eps: Double,
+      targetN: Long,
+      seed: Long
+  ): (Seq[DistCoarsener.Level], DataFrame, DataFrame) = {
+    var edges = Ckpt(edges0, "edges")
+    var nodeW = Ckpt(nodeW0, "nodew")
+    var n = nodeW.count()
+    val totalW = nodeW.agg(sum(col("weight"))).first().getLong(0)
+    val levels = scala.collection.mutable.ArrayBuffer.empty[Level]
+    var converged = false
+    val C = 2000L
+    while (n > targetN && !converged) {
+      // max cluster weight: eps * W / clamp(n/C, 2, k)
+      // (reference EPSILON_BLOCK_WEIGHT, `coarsening/max_cluster_weights.h:17-46`)
+      val divisor = math.min(math.max(n / C, 2L), k.toLong)
+      val cap = math.max(1L, (eps * totalW / divisor).toLong)
+      val clustering = lpCluster(spark, edges, nodeW, cap, maxIter = 5, seed = seed + levels.length)
+      val level = contract(edges, nodeW, clustering)
+      val cEdges = Ckpt(level.coarseEdges, "cedges")
+      val cNodeW = Ckpt(level.coarseNodeW, "cnodew")
+      val cn = cNodeW.count()
+      Log.info(s"coarsen level ${levels.length}: n=$n -> $cn (cap=$cap)")
+      if (cn >= n * 0.95) converged = true // <5% shrink (reference `presets.cc:186`)
+      if (cn < n) {
+        levels += Level(Ckpt(level.mapping, "mapping"), cEdges, cNodeW)
+        edges = cEdges
+        nodeW = cNodeW
+        n = cn
+      }
+    }
+    (levels.toSeq, edges, nodeW)
+  }
+}

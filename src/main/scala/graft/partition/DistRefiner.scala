@@ -1,0 +1,268 @@
+package graft.partition
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.util.{Ckpt, Log}
+
+/** Distributed balanced refinement — the uncoarsening half of the partitioner.
+  *
+  * Model: the reference's *distributed* LP refiner with probabilistic move acceptance
+  * and whole-round rollback (`/root/reference/kaminpar-dist/refinement/lp/
+  * lp_refiner.cc:164-333`, SURVEY O24) — explicitly designed for bulk-synchronous
+  * execution, which is exactly Spark's model:
+  *
+  *  1. per node: best positive-gain target block (gather + argmax, like coarsening);
+  *  2. per target block: total expected gain G_b and residual capacity R_b (k-row
+  *     table, collected to the driver like the reference's allreduce);
+  *  3. accept each candidate move with probability
+  *     p = (gain/G_b) * (R_b / w(u)) — in expectation the admitted weight fits R_b;
+  *     the coin is a seeded hash (deterministic, partition-independent);
+  *  4. re-aggregate block weights; if ANY block over-caps, roll back the whole round
+  *     (`lp_refiner.cc:296-333`) — so the balance invariant holds at every superstep
+  *     end, the property our ScalaTest property checks assert.
+  *
+  * Plus an overload balancer (SURVEY O17 role) as a safety net: ranked-prefix
+  * evictions from overloaded blocks by relative gain.
+  */
+object DistRefiner {
+
+  /** One refinement run: maxIter probabilistic LP supersteps. `part` = (node, block),
+    * `nodeW` = (node, weight). Returns updated part. Never increases cut (moves have
+    * positive gain and rounds that break balance roll back).
+    */
+  def lpRefine(
+      spark: SparkSession,
+      edges: DataFrame,
+      nodeW: DataFrame,
+      part0: DataFrame,
+      k: Int,
+      lmax: Long,
+      maxIter: Int = 5,
+      seed: Long = 42L
+  ): DataFrame = {
+    var part = Ckpt(
+      part0.join(nodeW, "node").select(col("node"), col("block"), col("weight")),
+      "ref-part")
+
+    var it = 0
+    var quiet = false
+    while (it < maxIter && !quiet) {
+      val blockW = Metrics.blockWeights(part.select(col("node"), col("block")), nodeW, k)
+
+      val parity = pmod(xxhash64(col("node"), lit(seed)) + lit(it), lit(2))
+      val active = part.filter(parity === 0)
+
+      // gather: per (active node, adjacent block) summed edge weight
+      val ratings = edges
+        .join(part.select(col("node").as("dst"), col("block").as("nb")), "dst")
+        .join(
+          active.select(col("node").as("src"), col("block").as("cur"), col("weight").as("nw")),
+          "src"
+        )
+        .groupBy(col("src"), col("cur"), col("nw"), col("nb"))
+        .agg(sum(col("w")).as("rating"))
+
+      // gain vs internal degree; keep strictly-positive-gain candidates into blocks
+      // with residual capacity
+      val internal = ratings.filter(col("nb") === col("cur"))
+        .select(col("src"), col("rating").as("internalW"))
+      val residualMap = (0 until k).map(b => b -> math.max(0L, lmax - blockW(b))).toMap
+      val residualDf = {
+        import spark.implicits._
+        residualMap.toSeq.toDF("nb", "residual")
+      }
+      val candidates = ratings
+        .filter(col("nb") =!= col("cur"))
+        .join(internal, Seq("src"), "left")
+        .withColumn("gain", col("rating") - coalesce(col("internalW"), lit(0L)))
+        .filter(col("gain") > 0)
+        .join(residualDf, "nb")
+        .filter(col("nw") <= col("residual"))
+        .withColumn("tb", xxhash64(col("nb"), lit(seed)))
+        .groupBy(col("src"), col("cur"), col("nw"))
+        .agg(
+          max_by(
+            struct(col("nb"), col("gain"), col("residual")),
+            struct(col("gain"), (-col("tb")).as("h"), (-col("nb")).as("n"))
+          ).as("bestS")
+        )
+        .select(
+          col("src").as("node"), col("cur"), col("nw"),
+          col("bestS.nb").as("cand"), col("bestS.gain").as("gain"),
+          col("bestS.residual").as("residual")
+        )
+
+      // per-target total expected gain (k rows, collected — the allreduce analog)
+      val gainTotals = candidates.groupBy(col("cand")).agg(sum(col("gain")).as("G"))
+        .collect().map(r => r.getAs[Number]("cand").intValue() -> r.getAs[Long]("G")).toMap
+
+      Log.info(s"lpRefine iter $it: candidates targets=${gainTotals.size}")
+      if (gainTotals.isEmpty) quiet = true
+      else {
+        val gainDf = {
+          import spark.implicits._
+          gainTotals.toSeq.toDF("cand", "G")
+        }
+        // probabilistic acceptance, seeded-deterministic coin
+        val accepted = candidates
+          .join(gainDf, "cand")
+          .withColumn(
+            "p",
+            (col("gain").cast("double") / col("G")) * (col("residual").cast("double") / col("nw"))
+          )
+          .withColumn(
+            "coin",
+            pmod(xxhash64(col("node"), lit(seed), lit(it)), lit(1000000000L)).cast("double") / 1e9
+          )
+          .filter(col("coin") < col("p"))
+          .select(col("node"), col("cand"), col("nw"))
+          .cache()
+
+        // post-check: would any block over-cap? roll back the whole round if so.
+        val deltas = accepted.groupBy(col("cand")).agg(sum(col("nw")).as("in"))
+          .collect().map(r => r.getAs[Number]("cand").intValue() -> r.getAs[Long]("in")).toMap
+        // departures are not credited (conservative, like the coarsener's protocol)
+        val violates = deltas.exists { case (b, in) => blockW(b) + in > lmax }
+
+        if (!violates && deltas.nonEmpty) {
+          part = Ckpt(
+            part
+              .join(accepted.select(col("node"), col("cand")), Seq("node"), "left")
+              .select(
+                col("node"),
+                coalesce(col("cand"), col("block")).cast("int").as("block"),
+                col("weight")
+              ),
+            "ref-part")
+        } else if (deltas.isEmpty) {
+          quiet = true
+        }
+        // on violation: round dropped entirely (reference rollback), next superstep
+        // re-tries with a different coin (seed, it)
+      }
+      it += 1
+    }
+    part.select(col("node"), col("block"))
+  }
+
+  /** Overload balancer (SURVEY O17 role): for each overloaded block, evict a
+    * (relative-gain desc)-ranked prefix of members — just enough running weight to
+    * cover the overload — into their best non-overloaded fitting block. A few
+    * supersteps; terminates feasible whenever capacity exists.
+    */
+  def balance(
+      spark: SparkSession,
+      edges: DataFrame,
+      nodeW: DataFrame,
+      part0: DataFrame,
+      k: Int,
+      lmax: Long,
+      maxRounds: Int = 8,
+      seed: Long = 42L
+  ): DataFrame = {
+    var part = Ckpt(
+      part0.join(nodeW, "node").select(col("node"), col("block"), col("weight")),
+      "bal-part")
+    var round = 0
+    var done = false
+    while (round < maxRounds && !done) {
+      val blockW = Metrics.blockWeights(part.select(col("node"), col("block")), nodeW, k)
+      val overloaded = (0 until k).filter(b => blockW(b) > lmax)
+      if (overloaded.isEmpty) done = true
+      else {
+        val overSet = overloaded.toSet
+        val residual = (0 until k).map(b => b -> math.max(0L, lmax - blockW(b))).toMap
+        import spark.implicits._
+        val residualDf = residual.toSeq.toDF("nb", "residual")
+        val overloadDf = overloaded.map(b => b -> (blockW(b) - lmax)).toDF("cur", "overload")
+
+        val members = part.filter(col("block").isin(overloaded.map(Int.box): _*))
+          .select(col("node").as("src"), col("block").as("cur"), col("weight").as("nw"))
+
+        // rating of each member toward every other block (0-degree members fall back
+        // to a hash-chosen target)
+        val ratings = edges
+          .join(part.select(col("node").as("dst"), col("block").as("nb")), "dst")
+          .join(members, "src")
+          .groupBy(col("src"), col("cur"), col("nw"), col("nb"))
+          .agg(sum(col("w")).as("rating"))
+        val internal = ratings.filter(col("nb") === col("cur"))
+          .select(col("src"), col("rating").as("internalW"))
+        val best = ratings
+          .filter(col("nb") =!= col("cur") && !col("nb").isin(overSet.toSeq.map(Int.box): _*))
+          .join(residualDf, "nb")
+          .filter(col("nw") <= col("residual"))
+          .join(internal, Seq("src"), "left")
+          .withColumn("gain", col("rating") - coalesce(col("internalW"), lit(0L)))
+          .groupBy(col("src"), col("cur"), col("nw"))
+          .agg(
+            max_by(
+              struct(col("nb"), col("gain")),
+              struct(col("gain"), (-xxhash64(col("nb"), lit(seed))).as("h"))
+            ).as("bestS")
+          )
+          .select(
+            col("src"), col("cur"), col("nw"),
+            col("bestS.nb").as("cand"), col("bestS.gain").as("gain")
+          )
+
+        // fallback: members with NO edge into any non-overloaded block (deeply interior
+        // nodes of an overloaded region) target the emptiest block — the reference's
+        // "random fallback" (`overload_balancer.cc:51-160` role); ranked last by a
+        // strongly negative gain so adjacent candidates are always preferred.
+        val fallbackTarget = residual.filter(_._2 > 0).toSeq.sortBy(-_._2).headOption.map(_._1)
+        val withFallback = fallbackTarget match {
+          case None => best
+          case Some(fb) =>
+            val noCand = members.join(best.select(col("src")), Seq("src"), "left_anti")
+              .withColumn("cand", lit(fb))
+              .withColumn("gain", lit(Long.MinValue / 4))
+              .select(col("src"), col("cur"), col("nw"), col("cand"), col("gain"))
+            best.unionAll(noCand)
+        }
+
+        // relative gain ordering (gain scaled by weight — reference relative_gain.h
+        // role), prefix just covering the overload
+        val wnd = Window.partitionBy(col("cur"))
+          .orderBy(desc("relGain"), asc("h"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val evictions = withFallback
+          .withColumn("relGain", col("gain").cast("double") / col("nw"))
+          .withColumn("h", xxhash64(col("src"), lit(seed + round)))
+          .join(overloadDf, "cur")
+          .withColumn("runW", sum(col("nw")).over(wnd))
+          .filter(col("runW") - col("nw") < col("overload"))
+          .select(col("src").as("node"), col("cand"), col("nw"))
+
+        // cap check per target: admit ranked prefix within residual
+        val wnd2 = Window.partitionBy(col("cand"))
+          .orderBy(asc("h2"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val admitted = evictions
+          .withColumn("h2", xxhash64(col("node"), lit(seed + round)))
+          .join(residualDf.select(col("nb").as("cand"), col("residual")), "cand")
+          .withColumn("runW2", sum(col("nw")).over(wnd2))
+          .filter(col("runW2") <= col("residual"))
+          .select(col("node"), col("cand"))
+
+        val nAdmitted = admitted.count()
+        Log.info(s"balance round $round: admitted=$nAdmitted over=${overloaded.size}")
+        if (nAdmitted == 0) done = true // no capacity anywhere: stop (infeasible input)
+        else {
+          part = Ckpt(
+            part
+              .join(admitted, Seq("node"), "left")
+              .select(
+                col("node"),
+                coalesce(col("cand"), col("block")).cast("int").as("block"),
+                col("weight")
+              ),
+            "bal-part")
+        }
+      }
+      round += 1
+    }
+    part.select(col("node"), col("block"))
+  }
+}

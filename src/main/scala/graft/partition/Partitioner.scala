@@ -1,0 +1,130 @@
+package graft.partition
+
+import graft.model.{CsrGraph, PartCtx}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Ckpt
+
+/** Balanced k-way graph partitioning — the engine's flagship operator, mirroring the
+  * reference's library surface (`/root/reference/include/kaminpar-shm/kaminpar.h:912-1025`
+  * `compute_partition`, SURVEY §3.2) as a Scala builder over a symmetric edge Dataset.
+  *
+  * Pipeline (deep-multilevel shape, `deep_multilevel.cc:55-67` / dist variant):
+  *   1. distributed coarsening: LP clustering with weight caps + contraction until the
+  *      graph fits the driver threshold (DistCoarsener);
+  *   2. initial partitioning of the coarsest graph on the driver (SeqPartitioner) —
+  *      the analog of dKaMinPar's replicate-everywhere + shm partitioner;
+  *   3. uncoarsening: project the partition up level by level, refining with
+  *      probabilistic LP (O24) + overload balancing (O17) at each level.
+  *
+  * Deterministic given the seed. Every level is checkpointed, so convergence is
+  * resumable and lineage stays flat.
+  */
+final class Partitioner private (
+    edges: DataFrame,
+    nodeWeights: Option[DataFrame],
+    k: Int,
+    epsilon: Double,
+    seed: Long,
+    driverThreshold: Long,
+    refineIters: Int
+) {
+
+  def setK(k: Int) = copy(k = k)
+  def setEpsilon(e: Double) = copy(epsilon = e)
+  def setSeed(s: Long) = copy(seed = s)
+  def setDriverThreshold(t: Long) = copy(driverThreshold = t)
+  def setRefineIters(i: Int) = copy(refineIters = i)
+  def setNodeWeights(w: DataFrame) = copy(nodeWeights = Some(w))
+
+  private def copy(
+      edges: DataFrame = edges,
+      nodeWeights: Option[DataFrame] = nodeWeights,
+      k: Int = k,
+      epsilon: Double = epsilon,
+      seed: Long = seed,
+      driverThreshold: Long = driverThreshold,
+      refineIters: Int = refineIters
+  ) = new Partitioner(edges, nodeWeights, k, epsilon, seed, driverThreshold, refineIters)
+
+  /** @return (assignment (node, block), cut, blockWeights) */
+  def computePartition(spark: SparkSession): Partitioner.Result = {
+    val e = Ckpt(edges.select(col("src"), col("dst"), col("w")), "edges")
+    val nodeW = Ckpt(
+      nodeWeights.getOrElse(
+        e.select(col("src").as("node")).distinct().withColumn("weight", lit(1L))
+      ),
+      "nodew")
+
+    val stats = nodeW.agg(sum(col("weight")), max(col("weight"))).first()
+    val ctx = PartCtx(k, epsilon, stats.getLong(0), stats.getLong(1))
+
+    // 1. distributed coarsening
+    val (levels, cEdges, cNodeW) =
+      DistCoarsener.coarsen(spark, e, nodeW, k, epsilon, driverThreshold, seed)
+
+    // 2. coarsest graph -> driver, dense-relabel sparse coarse ids, partition
+    val coarseNodes = cNodeW.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val idOf = coarseNodes.iterator.map(_._1).zipWithIndex.toMap
+    val vw = coarseNodes.map(_._2)
+    val coarseEdgeArr = cEdges.collect().map { r =>
+      (idOf(r.getLong(0)).toLong, idOf(r.getLong(1)).toLong, r.getLong(2))
+    }
+    val csr = CsrGraph.fromEdges(coarseNodes.length, coarseEdgeArr, vw)
+    // the FINE graph's balance bounds drive the coarse-level partition; coarse-node
+    // granularity slack is handled inside the sequential partitioner's relax()
+    val seqRes = SeqPartitioner.partitionKwayBest(
+      csr, k, epsilon, seed,
+      boundsOverride = Some((ctx.perfectBlockWeight, ctx.maxBlockWeight))
+    )
+
+    import spark.implicits._
+    var part = coarseNodes.indices
+      .map(i => (coarseNodes(i)._1, seqRes.part(i)))
+      .toDF("node", "block")
+
+    // 3. uncoarsen: project up + refine per level (finest level last)
+    var levelNo = levels.length - 1
+    while (levelNo >= 0) {
+      val level = levels(levelNo)
+      val fineNodeW =
+        if (levelNo == 0) nodeW
+        else levels(levelNo - 1).coarseNodeW
+      val fineEdges =
+        if (levelNo == 0) e
+        else levels(levelNo - 1).coarseEdges
+      val projected = level.mapping
+        .join(part.withColumnRenamed("node", "cnode"), "cnode")
+        .select(col("node"), col("block"))
+      val refined = DistRefiner.lpRefine(
+        spark, fineEdges, fineNodeW, projected, k, ctx.maxBlockWeight,
+        maxIter = refineIters, seed = seed + levelNo
+      )
+      part = DistRefiner
+        .balance(spark, fineEdges, fineNodeW, refined, k, ctx.maxBlockWeight, seed = seed + levelNo)
+      levelNo -= 1
+    }
+
+    val blockW = Metrics.blockWeights(part, nodeW, k)
+    val cut = Metrics.edgeCut(e, part)
+    Partitioner.Result(part, cut, blockW, Metrics.imbalance(blockW), ctx)
+  }
+}
+
+object Partitioner {
+  final case class Result(
+      assignment: DataFrame,
+      cut: Long,
+      blockWeights: Array[Long],
+      imbalance: Double,
+      ctx: PartCtx
+  ) {
+    def feasible: Boolean = blockWeights.forall(_ <= ctx.maxBlockWeight)
+  }
+
+  /** Entry point: `Partitioner(edges).setK(16).setEpsilon(0.03).computePartition(spark)`.
+    * `edges` must be a symmetric (src, dst, w) table (use Graphs.symmetrize).
+    */
+  def apply(edges: DataFrame): Partitioner =
+    new Partitioner(edges, None, 2, 0.03, 42L, 100000L, 5)
+}

@@ -1,0 +1,649 @@
+package graft.partition
+
+import graft.model.CsrGraph
+import scala.collection.mutable
+import scala.util.Random
+
+/** Driver-side sequential multilevel recursive-bisection partitioner.
+  *
+  * This is the Spark analog of the reference's initial-partitioning stage: once the
+  * distributed coarsener has shrunk the graph below the driver threshold, the whole
+  * coarse graph is collected and partitioned here — exactly the role
+  * `replicate_graph_everywhere` + the shm initial partitioner play in dKaMinPar
+  * (`/root/reference/kaminpar-dist/partitioning/deep_multilevel.cc:132`).
+  *
+  * Semantics mirrored from the reference (SURVEY.md O12-O15), implementation from
+  * scratch:
+  *  - multilevel per bisection: LP-clustering coarsening with a cluster-weight cap
+  *    (`initial_coarsener.cc` role), then a pool of flat bipartitioners (greedy graph
+  *    growing / BFS growing / random — `initial_pool_bipartitioner.cc` role), keep the
+  *    best by (feasible, cut), then 2-way FM with best-prefix rollback while
+  *    uncoarsening (`initial_fm_refiner.cc` role, alpha-free: fixed fruitless-move
+  *    cutoff).
+  *  - k-way via recursive bisection with per-side target weights proportional to the
+  *    number of final blocks on each side, and a per-level epsilon chosen so the
+  *    composed imbalance stays within the user's eps (`partition_utils.cc:21-50` role).
+  *
+  * Deterministic given the seed.
+  */
+object SeqPartitioner {
+
+  /** Hard cutoff of fruitless FM moves per pass (reference default 100,
+    * `presets.cc:208`; slightly larger since our passes are cheaper).
+    */
+  private val FruitlessMoves = 150
+  private val MaxFmPasses = 10
+  private val CoarsestSize = 48
+
+  final case class Result(part: Array[Int], cut: Long)
+
+  /** Best of `attempts` independent seeded runs, preferring feasible then min-cut —
+    * the role of the reference's ASYNC_PARALLEL initial-partitioning worker pool
+    * (`partitioning/deep/async_initial_partitioning.cc`): repeat on the small graph,
+    * keep the winner. Deterministic given the seed.
+    */
+  def partitionKwayBest(
+      g: CsrGraph, k: Int, eps: Double, seed: Long, attempts: Int = 3,
+      boundsOverride: Option[(Long, Long)] = None
+  ): Result = {
+    val (perfect, lmax) = bounds(g, k, eps, boundsOverride)
+    var best: Result = null
+    var bestKey = (false, Long.MaxValue)
+    var a = 0
+    while (a < attempts) {
+      val r = partitionKway(g, k, eps, seed + a * 0x9e3779b9L, boundsOverride)
+      val feasible = blockWeights(g, r.part, k).max <= lmax
+      val better = if (feasible != bestKey._1) feasible else r.cut < bestKey._2
+      if (best == null || better) { best = r; bestKey = (feasible, r.cut) }
+      a += 1
+    }
+    best
+  }
+
+  /** (perfect, Lmax) — derived from g unless the caller supplies the FINE-level bounds
+    * (when g is a coarse graph inside the deep pipeline, the balance constraint of the
+    * original graph must drive the caps, not the coarse node granularity — the
+    * granularity slack is handled per-level by `relax`).
+    */
+  private def bounds(g: CsrGraph, k: Int, eps: Double, o: Option[(Long, Long)]): (Long, Long) =
+    o.getOrElse {
+      val perfect = math.ceil(g.totalNodeWeight.toDouble / k).toLong
+      (perfect, math.max(((1.0 + eps) * perfect).toLong, perfect + g.maxNodeWeight))
+    }
+
+  /** Partition g into k blocks with imbalance <= eps. Returns block array + cut. */
+  def partitionKway(
+      g: CsrGraph, k: Int, eps: Double, seed: Long,
+      boundsOverride: Option[(Long, Long)] = None
+  ): Result = {
+    require(k >= 1)
+    val part = new Array[Int](g.n)
+    if (k == 1) return Result(part, 0L)
+    // global per-block bounds; all recursion levels derive their side targets from
+    // these so imbalance cannot compound across bisections (the role of the
+    // reference's compute_final_k scheme, `partition_utils.cc:21-50`)
+    val (perfect, lmax) = bounds(g, k, eps, boundsOverride)
+    val rand = new Random(seed)
+    // recursive bisection with a full multilevel (LP-coarsen + pool + FM) per
+    // bisection, then a final greedy k-way LP polish — empirically stronger on the
+    // Walshaw instances than coarsen-first with LP-only uncoarsening (FM acts on the
+    // full graph inside every bisection)
+    recurse(g, Array.tabulate(g.n)(identity), k, 0, perfect, lmax, rand, part)
+    kwayLpRefine(g, part, k, lmax, rand, rounds = 8)
+    Result(part, cut(g, part))
+  }
+
+  /** Greedy k-way LP refinement (the sequential analog of the reference's
+    * LABEL_PROPAGATION refiner, `lp_refiner.cc`): per node, gather edge weight per
+    * adjacent block and move to the best strictly-positive-gain block that fits the
+    * cap (or reduces overload if the current block is overloaded). Exact sequential
+    * gains — ratings recomputed per node, so no stale-cache issues.
+    */
+  def kwayLpRefine(g: CsrGraph, part: Array[Int], k: Int, lmax: Long, rand: Random, rounds: Int): Unit = {
+    val blockW = blockWeights(g, part, k)
+    val ratings = new mutable.LongMap[Long](64)
+    var round = 0
+    var moved = 1
+    while (round < rounds && moved > 0) {
+      moved = 0
+      val order = rand.shuffle((0 until g.n).toVector)
+      val it = order.iterator
+      while (it.hasNext) {
+        val u = it.next()
+        if (g.degree(u) > 0) {
+          ratings.clear()
+          var i = g.xadj(u)
+          while (i < g.xadj(u + 1)) {
+            val b = part(g.adjncy(i))
+            ratings(b.toLong) = ratings.getOrElse(b.toLong, 0L) + g.adjwgt(i)
+            i += 1
+          }
+          val cur = part(u)
+          val internal = ratings.getOrElse(cur.toLong, 0L)
+          var best = cur
+          val overloaded = blockW(cur) > lmax
+          // overloaded block: accept the least-bad move that reduces overload, even at
+          // negative gain (the balancer role); otherwise strictly-positive gain only
+          var bestGain = if (overloaded) Long.MinValue else 0L
+          ratings.foreachEntry { (bL, r) =>
+            val b = bL.toInt
+            if (b != cur) {
+              val gain = r - internal
+              val ok =
+                if (overloaded) blockW(b) + g.vwgt(u) < blockW(cur) && blockW(b) + g.vwgt(u) <= lmax
+                else blockW(b) + g.vwgt(u) <= lmax && gain > 0
+              if (ok && gain > bestGain) { best = b; bestGain = gain }
+            }
+          }
+          if (best != cur) {
+            blockW(cur) -= g.vwgt(u)
+            blockW(best) += g.vwgt(u)
+            part(u) = best
+            moved += 1
+          }
+        }
+      }
+      round += 1
+    }
+  }
+
+  /** Edge cut of a partition (each undirected edge counted once). */
+  def cut(g: CsrGraph, part: Array[Int]): Long = {
+    var c = 0L
+    var u = 0
+    while (u < g.n) {
+      var i = g.xadj(u)
+      while (i < g.xadj(u + 1)) {
+        if (part(g.adjncy(i)) != part(u)) c += g.adjwgt(i)
+        i += 1
+      }
+      u += 1
+    }
+    c / 2
+  }
+
+  def blockWeights(g: CsrGraph, part: Array[Int], k: Int): Array[Long] = {
+    val w = new Array[Long](k)
+    var u = 0
+    while (u < g.n) { w(part(u)) += g.vwgt(u); u += 1 }
+    w
+  }
+
+  // --------------------------------------------------------------------------
+  // recursive bisection
+  // --------------------------------------------------------------------------
+
+  /** Bisect sub into k blocks writing into out(origIds) with block offset blockLo.
+    * Side targets = (#final blocks on side) * global perfect weight; side caps =
+    * (#final blocks on side) * global per-block max — strict per-block feasibility is
+    * then enforced by the leaf-level bisections themselves.
+    */
+  private def recurse(
+      sub: CsrGraph,
+      origIds: Array[Int],
+      k: Int,
+      blockLo: Int,
+      perfect: Long,
+      lmax: Long,
+      rand: Random,
+      out: Array[Int]
+  ): Unit = {
+    if (k == 1) {
+      var i = 0
+      while (i < sub.n) { out(origIds(i)) = blockLo; i += 1 }
+      return
+    }
+    val k0 = (k + 1) / 2 // left gets ceil(k/2) final blocks
+    val k1 = k - k0
+    val total = sub.totalNodeWeight
+    // proportional split of THIS subgraph's weight, clamped so both sides stay under
+    // their global caps (feasible whenever total <= k * lmax)
+    var t0 = math.ceil(total.toDouble * k0 / k).toLong
+    if (total - t0 > k1 * lmax) t0 = total - k1 * lmax
+    if (t0 > k0 * lmax) t0 = k0 * lmax
+    val t1 = total - t0
+    val side = multilevelBisect(sub, t0, t1, k0 * lmax, k1 * lmax, rand)
+    // extract the two induced subgraphs with node remapping (SURVEY P5)
+    val (g0, ids0) = inducedSubgraph(sub, side, 0)
+    val (g1, ids1) = inducedSubgraph(sub, side, 1)
+    recurse(g0, ids0.map(origIds), k0, blockLo, perfect, lmax, rand, out)
+    recurse(g1, ids1.map(origIds), k1, blockLo + k0, perfect, lmax, rand, out)
+  }
+
+  private def inducedSubgraph(g: CsrGraph, side: Array[Int], s: Int): (CsrGraph, Array[Int]) = {
+    val remap = new Array[Int](g.n)
+    java.util.Arrays.fill(remap, -1)
+    var n2 = 0
+    var u = 0
+    while (u < g.n) { if (side(u) == s) { remap(u) = n2; n2 += 1 }; u += 1 }
+    val ids = new Array[Int](n2)
+    u = 0
+    while (u < g.n) { if (remap(u) >= 0) ids(remap(u)) = u; u += 1 }
+    val xadj2 = new Array[Int](n2 + 1)
+    u = 0
+    while (u < g.n) {
+      if (remap(u) >= 0) {
+        var d = 0
+        var i = g.xadj(u)
+        while (i < g.xadj(u + 1)) { if (remap(g.adjncy(i)) >= 0 && side(g.adjncy(i)) == s) d += 1; i += 1 }
+        xadj2(remap(u) + 1) = d
+      }
+      u += 1
+    }
+    var i = 0
+    while (i < n2) { xadj2(i + 1) += xadj2(i); i += 1 }
+    val adj2 = new Array[Int](xadj2(n2))
+    val wgt2 = new Array[Long](xadj2(n2))
+    val vw2 = new Array[Long](n2)
+    val pos = java.util.Arrays.copyOf(xadj2, n2)
+    u = 0
+    while (u < g.n) {
+      val ru = remap(u)
+      if (ru >= 0) {
+        vw2(ru) = g.vwgt(u)
+        var j = g.xadj(u)
+        while (j < g.xadj(u + 1)) {
+          val v = g.adjncy(j)
+          if (remap(v) >= 0 && side(v) == s) {
+            adj2(pos(ru)) = remap(v); wgt2(pos(ru)) = g.adjwgt(j); pos(ru) += 1
+          }
+          j += 1
+        }
+      }
+      u += 1
+    }
+    (new CsrGraph(xadj2, adj2, wgt2, vw2), ids)
+  }
+
+  // --------------------------------------------------------------------------
+  // multilevel 2-way
+  // --------------------------------------------------------------------------
+
+  /** Multilevel bisection into side weights ~ (t0, t1) with hard caps (max0, max1). */
+  private def multilevelBisect(g: CsrGraph, t0: Long, t1: Long, max0: Long, max1: Long, rand: Random): Array[Int] = {
+    // coarsening stack of (finerGraph, fine->coarse mapping); stop below the size
+    // threshold or when a level shrinks < 5% (reference convergence_threshold,
+    // `presets.cc:186`)
+    var cur = g
+    val stack = mutable.ArrayBuffer.empty[(CsrGraph, Array[Int])]
+    val capBase = math.max(1L, g.totalNodeWeight / 16)
+    var converged = false
+    while (cur.n > CoarsestSize && !converged) {
+      val clustering = lpCluster(cur, capBase, rand, iterations = 3)
+      val (coarse, mapping) = contract(cur, clustering)
+      if (coarse.n >= cur.n * 0.95) converged = true
+      if (coarse.n < cur.n) {
+        stack += ((cur, mapping))
+        cur = coarse
+      }
+    }
+    uncoarsenBisect(cur, stack, t0, t1, max0, max1, rand)
+  }
+
+  private def uncoarsenBisect(
+      coarsest: CsrGraph,
+      stack: mutable.ArrayBuffer[(CsrGraph, Array[Int])],
+      t0: Long,
+      t1: Long,
+      max0: Long,
+      max1: Long,
+      rand: Random
+  ): Array[Int] = {
+    // coarse levels relax the caps by the max (coarse) node weight — a single coarse
+    // node is unsplittable, so greedy filling may overshoot the target by up to
+    // maxNodeWeight-1; for unit weights this degenerates to the exact cap
+    def relax(g: CsrGraph, mx: Long, t: Long): Long = math.max(mx, t + g.maxNodeWeight - 1)
+    val side = poolBipartition(coarsest, t0, t1,
+      relax(coarsest, max0, t0), relax(coarsest, max1, t1), rand)
+    // project up
+    var cur = side
+    var level = stack.length - 1
+    while (level >= 0) {
+      val (finer, mapping) = stack(level)
+      val projected = new Array[Int](finer.n)
+      var u = 0
+      while (u < finer.n) { projected(u) = cur(mapping(u)); u += 1 }
+      fmRefine(finer, projected, relax(finer, max0, t0), relax(finer, max1, t1))
+      cur = projected
+      level -= 1
+    }
+    cur
+  }
+
+  // --------------------------------------------------------------------------
+  // sequential LP clustering + contraction (coarsening)
+  // --------------------------------------------------------------------------
+
+  /** One LP clustering run: node -> cluster leader, cluster weights capped. */
+  private def lpCluster(g: CsrGraph, maxClusterWeight: Long, rand: Random, iterations: Int): Array[Int] = {
+    val cluster = Array.tabulate(g.n)(identity)
+    val cweight = g.vwgt.clone()
+    val order = rand.shuffle((0 until g.n).toVector).toArray
+    val ratings = new mutable.LongMap[Long](64)
+    var iter = 0
+    var moved = 1
+    while (iter < iterations && moved > 0) {
+      moved = 0
+      var oi = 0
+      while (oi < g.n) {
+        val u = order(oi)
+        if (g.degree(u) > 0) {
+          ratings.clear()
+          var i = g.xadj(u)
+          while (i < g.xadj(u + 1)) {
+            val c = cluster(g.adjncy(i))
+            ratings(c.toLong) = ratings.getOrElse(c.toLong, 0L) + g.adjwgt(i)
+            i += 1
+          }
+          val cu = cluster(u)
+          var best = cu
+          var bestRating = ratings.getOrElse(cu.toLong, 0L)
+          ratings.foreachEntry { (cL, r) =>
+            val c = cL.toInt
+            if (c != cu && (r > bestRating || (r == bestRating && c < best)) &&
+              cweight(c) + g.vwgt(u) <= maxClusterWeight) {
+              best = c; bestRating = r
+            }
+          }
+          if (best != cu) {
+            cweight(cu) -= g.vwgt(u)
+            cweight(best) += g.vwgt(u)
+            cluster(u) = best
+            moved += 1
+          }
+        }
+        oi += 1
+      }
+      iter += 1
+    }
+    cluster
+  }
+
+  /** Contract a clustering: returns (coarse graph, fine->coarse mapping). */
+  private def contract(g: CsrGraph, cluster: Array[Int]): (CsrGraph, Array[Int]) = {
+    // dense-relabel leaders (O5/O6 pattern)
+    val leaderToCoarse = new mutable.LongMap[Int](g.n)
+    val mapping = new Array[Int](g.n)
+    var nc = 0
+    var u = 0
+    while (u < g.n) {
+      val c = cluster(u)
+      mapping(u) = leaderToCoarse.getOrElseUpdate(c.toLong, { val id = nc; nc += 1; id })
+      u += 1
+    }
+    val vw = new Array[Long](nc)
+    u = 0
+    while (u < g.n) { vw(mapping(u)) += g.vwgt(u); u += 1 }
+    // aggregate inter-cluster edges, dropping self-loops (SURVEY O7)
+    val agg = new mutable.LongMap[Long](g.m / 2 + 16)
+    u = 0
+    while (u < g.n) {
+      val cu = mapping(u)
+      var i = g.xadj(u)
+      while (i < g.xadj(u + 1)) {
+        val cv = mapping(g.adjncy(i))
+        if (cu != cv) {
+          val key = (cu.toLong << 32) | (cv.toLong & 0xffffffffL)
+          agg(key) = agg.getOrElse(key, 0L) + g.adjwgt(i)
+        }
+        i += 1
+      }
+      u += 1
+    }
+    val deg = new Array[Int](nc)
+    agg.foreachEntry { (key, _) => deg((key >>> 32).toInt) += 1 }
+    val xadj2 = new Array[Int](nc + 1)
+    var i = 0
+    while (i < nc) { xadj2(i + 1) = xadj2(i) + deg(i); i += 1 }
+    val adj2 = new Array[Int](xadj2(nc))
+    val wgt2 = new Array[Long](xadj2(nc))
+    val pos = java.util.Arrays.copyOf(xadj2, nc)
+    agg.foreachEntry { (key, w) =>
+      val cu = (key >>> 32).toInt
+      val cv = (key & 0xffffffffL).toInt
+      adj2(pos(cu)) = cv; wgt2(pos(cu)) = w; pos(cu) += 1
+    }
+    (new CsrGraph(xadj2, adj2, wgt2, vw), mapping)
+  }
+
+  // --------------------------------------------------------------------------
+  // flat bipartitioner pool (reference `initial_pool_bipartitioner.cc` role)
+  // --------------------------------------------------------------------------
+
+  private def poolBipartition(
+      g: CsrGraph,
+      t0: Long, t1: Long, max0: Long, max1: Long,
+      rand: Random
+  ): Array[Int] = {
+    var best: Array[Int] = null
+    var bestScore = (false, Long.MaxValue) // (feasible, cut)
+    def consider(side: Array[Int]): Unit = {
+      fmRefine(g, side, max0, max1)
+      val w = sideWeights(g, side)
+      val feasible = w(0) <= max0 && w(1) <= max1
+      val c = cut(g, side)
+      val better =
+        if (feasible != bestScore._1) feasible
+        else c < bestScore._2
+      if (best == null || better) { best = side.clone(); bestScore = (feasible, c) }
+    }
+    var rep = 0
+    while (rep < 4) { consider(greedyGrow(g, t0, rand, byGain = true)); rep += 1 }
+    rep = 0
+    while (rep < 2) { consider(greedyGrow(g, t0, rand, byGain = false)); rep += 1 }
+    rep = 0
+    while (rep < 2) { consider(randomBipartition(g, t0, rand)); rep += 1 }
+    best
+  }
+
+  private def sideWeights(g: CsrGraph, side: Array[Int]): Array[Long] = {
+    val w = new Array[Long](2)
+    var u = 0
+    while (u < g.n) { w(side(u)) += g.vwgt(u); u += 1 }
+    w
+  }
+
+  /** Greedy graph growing (byGain) / BFS growing (!byGain): grow block 0 from a random
+    * seed until its weight reaches t0; everything else is block 1.
+    */
+  private def greedyGrow(g: CsrGraph, t0: Long, rand: Random, byGain: Boolean): Array[Int] = {
+    val side = Array.fill(g.n)(1)
+    val inQueue = new Array[Boolean](g.n)
+    var w0 = 0L
+    var assigned = 0
+    // lazy-deletion max-heap of (priority, node); BFS mode uses FIFO order instead
+    val heap = mutable.PriorityQueue.empty[(Long, Int)](Ordering.by(x => (x._1, -x._2)))
+    val queue = mutable.Queue.empty[Int]
+    val gain = new Array[Long](g.n) // accumulated edge weight into the growing block
+
+    def frontierEmpty: Boolean = if (byGain) heap.isEmpty else queue.isEmpty
+    def seedFrontier(): Boolean = {
+      // (re)seed from an unassigned node — handles disconnected graphs
+      var s = -1
+      var tries = 0
+      while (s < 0 && tries < 32) { val c = rand.nextInt(g.n); if (side(c) == 1) s = c; tries += 1 }
+      if (s < 0) { var u2 = 0; while (s < 0 && u2 < g.n) { if (side(u2) == 1) s = u2; u2 += 1 } }
+      if (s < 0) false
+      else {
+        if (byGain) heap.enqueue((0L, s)) else queue.enqueue(s)
+        inQueue(s) = true
+        true
+      }
+    }
+
+    while (w0 < t0 && assigned < g.n) {
+      if (frontierEmpty && !seedFrontier()) return side
+      val u = if (byGain) heap.dequeue()._2 else queue.dequeue()
+      if (side(u) == 1) { // not yet taken (lazy deletion)
+        side(u) = 0
+        w0 += g.vwgt(u)
+        assigned += 1
+        var i = g.xadj(u)
+        while (i < g.xadj(u + 1)) {
+          val v = g.adjncy(i)
+          if (side(v) == 1) {
+            gain(v) += g.adjwgt(i)
+            if (byGain) heap.enqueue((gain(v), v))
+            else if (!inQueue(v)) { queue.enqueue(v); inQueue(v) = true }
+          }
+          i += 1
+        }
+      }
+    }
+    side
+  }
+
+  private def randomBipartition(g: CsrGraph, t0: Long, rand: Random): Array[Int] = {
+    val order = rand.shuffle((0 until g.n).toVector)
+    val side = Array.fill(g.n)(1)
+    var w0 = 0L
+    val it = order.iterator
+    while (w0 < t0 && it.hasNext) {
+      val u = it.next()
+      side(u) = 0; w0 += g.vwgt(u)
+    }
+    side
+  }
+
+  // --------------------------------------------------------------------------
+  // 2-way FM refinement with best-prefix rollback
+  // --------------------------------------------------------------------------
+
+  /** Repeated FM passes until a pass yields no improvement. Mutates side in place. */
+  def fmRefine(g: CsrGraph, side: Array[Int], max0: Long, max1: Long): Unit = {
+    var pass = 0
+    var improved = true
+    while (pass < MaxFmPasses && improved) {
+      improved = fmPass(g, side, max0, max1)
+      pass += 1
+    }
+  }
+
+  /** One FM pass. Returns true if the final state improved (cut or feasibility). */
+  private def fmPass(g: CsrGraph, side: Array[Int], max0: Long, max1: Long): Boolean = {
+    val n = g.n
+    val maxW = Array(max0, max1)
+    val w = sideWeights(g, side)
+    // D-values: external - internal weighted degree
+    val d = new Array[Long](n)
+    var u = 0
+    var curCut = 0L
+    while (u < n) {
+      var ext = 0L; var int = 0L
+      var i = g.xadj(u)
+      while (i < g.xadj(u + 1)) {
+        if (side(g.adjncy(i)) != side(u)) ext += g.adjwgt(i) else int += g.adjwgt(i)
+        i += 1
+      }
+      d(u) = ext - int
+      curCut += ext
+      u += 1
+    }
+    curCut /= 2
+    val startCut = curCut
+    def overload(w0: Long, w1: Long): Long =
+      math.max(0L, w0 - max0) + math.max(0L, w1 - max1)
+    val startOver = overload(w(0), w(1))
+
+    val locked = new Array[Boolean](n)
+    // two lazy-deletion heaps keyed by D-value
+    val heaps = Array.fill(2)(mutable.PriorityQueue.empty[(Long, Int)](Ordering.by(x => (x._1, -x._2))))
+    u = 0
+    while (u < n) { heaps(side(u)).enqueue((d(u), u)); u += 1 }
+
+    val moves = new Array[Int](n)
+    var nMoves = 0
+    var bestPrefix = 0
+    var bestCut = curCut
+    var bestOver = startOver
+    var fruitless = 0
+
+    def popValid(s: Int): Int = {
+      val h = heaps(s)
+      while (h.nonEmpty) {
+        val (pri, node) = h.dequeue()
+        if (!locked(node) && side(node) == s && d(node) == pri) return node
+      }
+      -1
+    }
+
+    var continue = true
+    while (continue && fruitless < FruitlessMoves && nMoves < n) {
+      // choose source side: an overloaded side first; else the one with the better top
+      val from =
+        if (w(0) > max0) 0
+        else if (w(1) > max1) 1
+        else {
+          // peek tops lazily
+          def top(s: Int): Long = {
+            val h = heaps(s)
+            while (h.nonEmpty && {
+              val (pri, node) = h.head; locked(node) || side(node) != s || d(node) != pri
+            }) h.dequeue()
+            if (h.isEmpty) Long.MinValue else h.head._1
+          }
+          val t0v = top(0); val t1v = top(1)
+          if (t0v == Long.MinValue && t1v == Long.MinValue) -1
+          else if (t0v == t1v) { if (w(0) >= w(1)) 0 else 1 }
+          else if (t0v > t1v) 0
+          else 1
+        }
+      if (from < 0) continue = false
+      else {
+        val to = 1 - from
+        // the move must not overload the target (unless source itself is overloaded
+        // and the move reduces total overload — reference lp_refiner.cc:185-200 rule)
+        var u2 = popValid(from)
+        var chosen = -1
+        val rejected = mutable.ArrayBuffer.empty[Int]
+        while (u2 >= 0 && chosen < 0) {
+          val fits = w(to) + g.vwgt(u2) <= maxW(to)
+          // when the source side is overloaded, also accept any move that reduces the
+          // total overload (reference rule, `lp_refiner.cc:185-200`)
+          val afterOver =
+            math.max(0L, w(from) - g.vwgt(u2) - maxW(from)) +
+              math.max(0L, w(to) + g.vwgt(u2) - maxW(to))
+          val reducesOverload = w(from) > maxW(from) && afterOver < overload(w(0), w(1))
+          if (fits || reducesOverload) chosen = u2
+          else { rejected += u2; u2 = popValid(from) }
+        }
+        rejected.foreach(r => heaps(from).enqueue((d(r), r)))
+        if (chosen < 0) {
+          continue = false
+        } else {
+          val g0 = d(chosen)
+          side(chosen) = to
+          w(from) -= g.vwgt(chosen)
+          w(to) += g.vwgt(chosen)
+          curCut -= g0
+          locked(chosen) = true
+          moves(nMoves) = chosen
+          nMoves += 1
+          // update neighbor D-values
+          var i = g.xadj(chosen)
+          while (i < g.xadj(chosen + 1)) {
+            val v = g.adjncy(i)
+            if (!locked(v)) {
+              if (side(v) == to) d(v) -= 2 * g.adjwgt(i)
+              else d(v) += 2 * g.adjwgt(i)
+              heaps(side(v)).enqueue((d(v), v))
+            }
+            i += 1
+          }
+          val over = overload(w(0), w(1))
+          val better = (over < bestOver) || (over == bestOver && curCut < bestCut)
+          if (better) { bestCut = curCut; bestOver = over; bestPrefix = nMoves; fruitless = 0 }
+          else fruitless += 1
+        }
+      }
+    }
+    // rollback to best prefix
+    var mi = nMoves - 1
+    while (mi >= bestPrefix) {
+      val v = moves(mi)
+      side(v) = 1 - side(v)
+      mi -= 1
+    }
+    bestOver < startOver || bestCut < startCut
+  }
+}
