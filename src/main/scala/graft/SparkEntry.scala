@@ -105,7 +105,25 @@ object SparkEntry {
     "q09_lp_communities" -> ((s, dir) =>
       LabelPropagation.run(s, Graphs.copurchase(s, dir), maxIter = 10)
         .groupBy(col("label"))
-        .agg(count(lit(1)).cast("long").as("size")))
+        .agg(count(lit(1)).cast("long").as("size"))),
+    // k-way balanced partitioning (the flagship operator): block weights of a k=16
+    // partition — rows-only here (quality bounds + determinism proven in ScalaTest
+    // against the Walshaw fixtures)
+    "q10_partition_blocks" -> ((s, dir) => {
+      val res = graft.partition.Partitioner(Graphs.bipartite(s, dir))
+        .setK(16).setEpsilon(0.03).setSeed(42L).computePartition(s)
+      import s.implicits._
+      res.blockWeights.zipWithIndex
+        .map { case (w, b) => (b, w) }.toSeq.toDF("block", "weight")
+    }),
+    // partition quality metrics row (cut, imbalance, feasible)
+    "q11_partition_metrics" -> ((s, dir) => {
+      val res = graft.partition.Partitioner(Graphs.bipartite(s, dir))
+        .setK(16).setEpsilon(0.03).setSeed(42L).computePartition(s)
+      import s.implicits._
+      Seq((res.cut, math.round(res.imbalance * 1e6), res.feasible))
+        .toDF("cut", "imbalance_ppm", "feasible")
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
