@@ -4,6 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.graph.Graphs
 import graft.ops.{ConnectedComponents, LabelPropagation, PageRank, Triangles}
+import graft.textops.{Dedup, TextOps}
+import graft.sim.Similarity
+import graft.multimodal.MediaPipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -123,8 +126,61 @@ object SparkEntry {
       import s.implicits._
       Seq((res.cut, math.round(res.imbalance * 1e6), res.feasible))
         .toDF("cut", "imbalance_ppm", "feasible")
-    })
+    }),
+    // ---- training-data pipeline operators over documents/embeddings ----
+    "q12_token_stats" -> ((s, dir) => TextOps.tokenStats(docs(s, dir))),
+    "q13_quality_scores" -> ((s, dir) => TextOps.qualityScores(docs(s, dir))),
+    "q14_lang_id" -> ((s, dir) => TextOps.langId(docs(s, dir))),
+    "q15_fingerprints" -> ((s, dir) => TextOps.fingerprints(docs(s, dir))),
+    "q16_exact_dedup" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    // MinHash-LSH near-dup candidate pairs with exact-Jaccard verification
+    // (xxhash-based — rows-only oracle; exactness covered in ScalaTest with planted dups)
+    "q17_neardup_pairs" -> ((s, dir) =>
+      Dedup.verifyJaccard(docs(s, dir), Dedup.lshCandidates(docs(s, dir)))
+        .filter(col("jaccard") >= 0.5)),
+    "q18_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), maxDist = 3)),
+    // exact word-set Jaccard within each source bucket (SQL-expressible)
+    "q19_jaccard_pairs" -> ((s, dir) => {
+      val d = docs(s, dir).select(
+        col("doc_id"), col("source"),
+        array_distinct(split(lower(trim(col("text"))), "\\s+")).as("toks")
+      )
+      d.as("a").join(d.as("b"),
+          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("a"), col("b.doc_id").as("b"),
+          round(
+            size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
+              size(array_union(col("a.toks"), col("b.toks"))).cast("double"),
+            8
+          ).as("jaccard")
+        )
+        .filter(col("jaccard") >= 0.2)
+    }),
+    // exact brute-force cosine top-5 for query vectors (vec_id < 10)
+    "q20_knn_brute" -> ((s, dir) => {
+      val v = vecs(s, dir)
+      Similarity.bruteForceKnn(v.filter(col("id") < 10), v, k = 5)
+    }),
+    // LSH-bucketed approximate NN (recall vs brute force covered in ScalaTest);
+    // short keys + many tables because the synthetic embeddings are weakly clustered
+    "q21_ann_lsh" -> ((s, dir) => {
+      val v = vecs(s, dir)
+      Similarity.annLsh(v.filter(col("id") < 10), v, k = 5, planes = 6, tables = 16)
+    }),
+    // multimodal plumbing: synthetic opaque-binary media -> batched (stubbed) decode ->
+    // per-kind feature stats (deterministic; rows-only)
+    "q22_media_stats" -> ((s, dir) =>
+      MediaPipeline.featureStats(MediaPipeline.extractFeatures(
+        MediaPipeline.syntheticMedia(s, 200))))
   )
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -164,6 +220,80 @@ object SparkEntry {
         |FROM pairs e1
         |JOIN pairs e2 ON e1.hi = e2.lo
         |JOIN pairs e3 ON e3.lo = e1.lo AND e3.hi = e2.hi""".stripMargin,
-    "q07_pagerank5" -> pageRankSql(PrIters)
+    "q07_pagerank5" -> pageRankSql(PrIters),
+    "q12_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tokens,
+        |  CAST(length(text) AS BIGINT) AS chars,
+        |  ROUND(CAST(length(replace(replace(replace(trim(text), ' ', ''), chr(9), ''), chr(10), '')) AS DOUBLE)
+        |        / len(regexp_split_to_array(trim(text), '\s+')), 8) AS avg_token_len
+        |FROM documents""".stripMargin,
+    "q13_quality_scores" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS punct
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  ROUND(CAST(len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+        |        / CAST(len(toks) AS DOUBLE), 8) AS stopword_ratio,
+        |  ROUND(punct / CAST(length(text) AS DOUBLE), 8) AS punct_ratio,
+        |  ROUND((CAST(len(toks) AS DOUBLE) / (CAST(len(toks) AS DOUBLE) + 100.0))
+        |        * (1.0 - punct / CAST(length(text) AS DOUBLE)), 8) AS quality_score
+        |FROM t""".stripMargin,
+    "q14_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_transform(regexp_split_to_array(trim(text), '\s+'), x -> lower(x)) AS toks
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(toks, x -> x IN ('the','and','of','to','is','in','that','with'))) AS en,
+        |    len(list_filter(toks, x -> x IN ('der','die','und','das','ist','nicht','mit','ein'))) AS de,
+        |    len(list_filter(toks, x -> x IN ('le','la','les','et','est','que','une','des'))) AS fr,
+        |    len(list_filter(toks, x -> x IN ('el','la','los','que','es','una','con','por'))) AS es
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |       WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        |       WHEN de >= fr AND de >= es THEN 'de'
+        |       WHEN fr >= es THEN 'fr'
+        |       ELSE 'es' END AS predicted_lang
+        |FROM h""".stripMargin,
+    "q15_fingerprints" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+    "q16_exact_dedup" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |       min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q19_jaccard_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |        / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 8) AS jaccard
+        |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.2""".stripMargin,
+    "q20_knn_brute" ->
+      """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |q AS (SELECT * FROM v WHERE id < 10),
+        |scored AS (
+        |  SELECT q.id AS qid, c.id AS nid,
+        |    ROUND(list_dot_product(q.vec, c.vec)
+        |          / (sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(c.vec, c.vec))), 6) AS cos
+        |  FROM q JOIN v c ON q.id <> c.id
+        |), ranked AS (
+        |  SELECT qid, nid, cos,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INT) AS rank
+        |  FROM scored
+        |)
+        |SELECT qid, rank, nid, cos FROM ranked WHERE rank <= 5""".stripMargin
   )
 }
