@@ -59,13 +59,17 @@ object SparkEntry {
 
   private val PrIters = 5
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
-    * full pipeline link-graph build -> PageRank -> top pages by rank.
+  /** Flagship query; driver smoke-checks rows>0. The full north-star path: synthetic
+    * Common-Crawl-style page table -> HTML link extraction -> dictionary-encoded
+    * symmetric edge table -> PageRank -> top pages by rank (joined back to urls).
     */
   def entry(spark: SparkSession): DataFrame = {
-    val edges = Graphs.bipartite(spark, "/root/testdata/sf0.001")
+    val pages = graft.extract.PageGen.generateDf(spark, hosts = 20, pagesPerHost = 10)
+    val (edges, dict) = graft.extract.HtmlExtract.edgeTable(pages)
     PageRank.run(spark, edges, iterations = PrIters)
+      .join(dict, "node")
       .orderBy(desc("pr"), col("node"))
+      .select(col("url"), col("node"), round(col("pr"), 8).as("pr"))
       .limit(20)
   }
 
