@@ -1,24 +1,107 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.graph.Graphs
+import graft.ops.PageRank
+import graft.util.Log
+
+/** Benchmark main (driver contract): times the headline queries on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line. Adds the BASELINE.json headline
+  * throughput metrics: edges/sec per superstep for PageRank and for k-way partition
+  * refinement (edge traversals per wall-second).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    Log.enabled = false
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // shared graph build (timed as its own entry)
+    val (edges, tBuild) = time {
+      val e = Graphs.bipartite(spark, sfDir).persist()
+      e.count()
+      e
+    }
+    val m = edges.count() // directed half-edge count
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    results += "graph_build" -> tBuild
+
+    val prIters = 5
+    val (_, tPr) = time {
+      PageRank.run(spark, edges, iterations = prIters).agg(sum(col("pr"))).first()
+    }
+    results += "pagerank5" -> tPr
+
+    val (_, tCc) = time {
+      graft.ops.ConnectedComponents.run(spark, edges)
+        .agg(countDistinct(col("component"))).first()
+    }
+    results += "cc" -> tCc
+
+    val (_, tTri) = time {
+      graft.ops.Triangles.count(spark, Graphs.copurchase(spark, sfDir)).first()
+    }
+    results += "triangles" -> tTri
+
+    // k-way partition: coarsening + driver IP + per-level refinement; refinement
+    // superstep throughput measured separately on the finest level
+    val (partRes, tPart) = time {
+      graft.partition.Partitioner(edges).setK(16).setEpsilon(0.03).setSeed(42L)
+        .computePartition(spark)
+    }
+    results += "partition_k16" -> tPart
+
+    val refineIters = 5
+    val nodeW = edges.select(col("src").as("node")).distinct().withColumn("weight", lit(1L))
+    val (_, tRefine) = time {
+      graft.partition.DistRefiner.lpRefine(
+        spark, edges, nodeW, partRes.assignment, 16, partRes.ctx.maxBlockWeight,
+        maxIter = refineIters, seed = 7L
+      ).count()
+    }
+    results += "refine5" -> tRefine
+
+    val (_, tDedup) = time {
+      graft.textops.Dedup.verifyJaccard(
+        spark.read.parquet(s"$sfDir/documents.parquet"),
+        graft.textops.Dedup.lshCandidates(spark.read.parquet(s"$sfDir/documents.parquet"))
+      ).filter(col("jaccard") >= 0.5).count()
+    }
+    results += "minhash_dedup" -> tDedup
+
+    val (_, tKnn) = time {
+      val v = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      graft.sim.Similarity.bruteForceKnn(v.filter(col("id") < 10), v, 5).count()
+    }
+    results += "knn_brute" -> tKnn
+
+    val total = results.values.sum
+    val prEps = m.toDouble * prIters / tPr
+    val refineEps = m.toDouble * refineIters / tRefine
+    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"edges_per_sec_per_superstep","value":${prEps.toLong},"unit":"edges/sec",""" +
+        s""""pagerank_eps":${prEps.toLong},"refine_eps":${refineEps.toLong},"edges":$m,""" +
+        s""""cut":${partRes.cut},"imbalance":${partRes.imbalance},"feasible":${partRes.feasible},""" +
+        s""""total_sec":$total,"queries":$qs,"sf":"$sfDir","cpus":$cpus}"""
+    )
     spark.stop()
   }
 }
