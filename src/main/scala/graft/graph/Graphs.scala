@@ -76,9 +76,14 @@ object Graphs {
       )
       .groupBy(col("lo"), col("hi"))
       .agg(sum(col("w")).as("w"))
+    // both directions via a map-side explode — a UNION of two projections would scan
+    // and aggregate the whole input twice (plan-audit finding)
     canon
-      .select(col("lo").as("src"), col("hi").as("dst"), col("w"))
-      .unionAll(canon.select(col("hi").as("src"), col("lo").as("dst"), col("w")))
+      .select(explode(array(
+        struct(col("lo").as("src"), col("hi").as("dst"), col("w")),
+        struct(col("hi").as("src"), col("lo").as("dst"), col("w"))
+      )).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
   }
 
   /** Weighted + unweighted degree per node. On the symmetric edge table this is a

@@ -51,8 +51,12 @@ object ConnectedComponents {
     while (it < maxIter && !converged) {
       // large-star: per node u over full neighborhood Γ(u) (both directions),
       // m = min(Γ(u) ∪ {u}); connect every strictly larger neighbor to m.
-      val sym = pairs.select(col("u"), col("v"))
-        .unionAll(pairs.select(col("v").as("u"), col("u").as("v")))
+      val sym = pairs
+        .select(explode(array(
+          struct(col("u"), col("v")),
+          struct(col("v").as("u"), col("u").as("v"))
+        )).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
       val mins = sym.groupBy(col("u")).agg(least(min(col("v")), first(col("u"))).as("m"))
       val large = sym
         .join(mins, "u")
@@ -68,8 +72,8 @@ object ConnectedComponents {
         .join(minsS, "u")
         .select(col("v").as("a"), col("m"), col("u").as("uu"))
       val rewired = Ckpt(
-        small.select(col("a").as("u"), col("m").as("v"))
-          .unionAll(small.select(col("uu").as("u"), col("m").as("v")))
+        small
+          .select(explode(array(col("a"), col("uu"))).as("u"), col("m").as("v"))
           .filter(col("u") =!= col("v"))
           .distinct(),
         "cc-pairs")

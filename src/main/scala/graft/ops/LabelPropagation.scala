@@ -76,11 +76,14 @@ object LabelPropagation {
         .select(col("node"), coalesce(col("newLabel"), col("label")).as("label"),
           (coalesce(col("newLabel"), col("label")) =!= col("label")).as("moved"))
 
-      val moves = updatedActive.filter(col("moved")).count()
-      quietRounds = if (moves == 0L) quietRounds + 1 else 0
-      labels = Ckpt(
-        updatedActive.select(col("node"), col("label")).unionAll(inactive),
+      // checkpoint WITH the moved flag, then read the count from the checkpoint —
+      // one execution of the superstep plan, not two
+      val staged = Ckpt(
+        updatedActive.unionAll(inactive.withColumn("moved", lit(false))),
         "lp-labels")
+      val moves = staged.filter(col("moved")).count()
+      quietRounds = if (moves == 0L) quietRounds + 1 else 0
+      labels = staged.select(col("node"), col("label"))
       it += 1
     }
     e.unpersist()

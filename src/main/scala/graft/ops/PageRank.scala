@@ -31,9 +31,8 @@ object PageRank {
       checkpointEvery: Int = 4
   ): DataFrame = {
     val e = edges.select(col("src"), col("dst")).persist()
-    // every node that appears as src or dst participates
-    val nodes = e.select(col("src").as("node"))
-      .unionAll(e.select(col("dst").as("node")))
+    // every node that appears as src or dst participates (one pass via explode)
+    val nodes = e.select(explode(array(col("src"), col("dst"))).as("node"))
       .distinct()
       .persist()
     val n = nodes.count().toDouble

@@ -96,12 +96,18 @@ object DistCoarsener {
         .partitionBy(col("cand"))
         .orderBy(desc("gain"), asc("h"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val admitted = movers
-        .withColumn("h", xxhash64(col("node"), lit(seed + it)))
-        .join(capacity, "cand")
-        .withColumn("runW", sum(col("nw")).over(wnd))
-        .filter(col("runW") <= col("residual"))
-        .select(col("node"), col("cand"))
+      // checkpoint the (small) admitted-move set BEFORE it is consumed twice (label
+      // update + convergence count) — otherwise the whole superstep plan executes
+      // twice per iteration
+      val admitted = Ckpt(
+        movers
+          .withColumn("h", xxhash64(col("node"), lit(seed + it)))
+          .join(capacity, "cand")
+          .withColumn("runW", sum(col("nw")).over(wnd))
+          .filter(col("runW") <= col("residual"))
+          .select(col("node"), col("cand")),
+        "lpc-admitted"
+      )
 
       val updated = Ckpt(
         labels

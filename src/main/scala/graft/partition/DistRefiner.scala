@@ -45,15 +45,31 @@ object DistRefiner {
       part0.join(nodeW, "node").select(col("node"), col("block"), col("weight")),
       "ref-part")
 
+    // Superstep shape (scales like the PageRank gather — no k-key windows, no
+    // duplicated subplans, no per-round full-plan recomputation):
+    //   job 1: gather + ONE combined aggregation (argmax external block AND internal
+    //          weight in the same pass) + coin thinning -> checkpoint `accepted`;
+    //   job 2: k^2-row (from, to) delta aggregate over the checkpointed accepted —
+    //          the reference's allreduce; violating TARGET blocks roll back all their
+    //          moves this round (per-block rollback, `lp_refiner.cc:296-333` made
+    //          finer-grained);
+    //   job 3: apply surviving moves -> checkpoint part.
+    // Block weights are maintained driver-side from the deltas (k values), so the
+    // balance invariant holds exactly at every superstep end.
+    val blockW: Array[Long] =
+      Metrics.blockWeights(part.select(col("node"), col("block")), nodeW, k)
+
     var it = 0
-    var quiet = false
-    while (it < maxIter && !quiet) {
-      val blockW = Metrics.blockWeights(part.select(col("node"), col("block")), nodeW, k)
+    while (it < maxIter) {
+      import spark.implicits._
+      val residualDf = broadcast(
+        (0 until k).map(b => (b, math.max(0L, lmax - blockW(b)))).toDF("cand", "residual"))
 
       val parity = pmod(xxhash64(col("node"), lit(seed)) + lit(it), lit(2))
       val active = part.filter(parity === 0)
 
-      // gather: per (active node, adjacent block) summed edge weight
+      // gather: per (active node, adjacent block) summed edge weight, then ONE
+      // aggregation yielding both the internal weight and the best external block
       val ratings = edges
         .join(part.select(col("node").as("dst"), col("block").as("nb")), "dst")
         .join(
@@ -63,49 +79,36 @@ object DistRefiner {
         .groupBy(col("src"), col("cur"), col("nw"), col("nb"))
         .agg(sum(col("w")).as("rating"))
 
-      // gain vs internal degree; keep strictly-positive-gain candidates into blocks
-      // with residual capacity
-      val internal = ratings.filter(col("nb") === col("cur"))
-        .select(col("src"), col("rating").as("internalW"))
-      val residualMap = (0 until k).map(b => b -> math.max(0L, lmax - blockW(b))).toMap
-      val residualDf = {
-        import spark.implicits._
-        residualMap.toSeq.toDF("nb", "residual")
-      }
-      val candidates = ratings
-        .filter(col("nb") =!= col("cur"))
-        .join(internal, Seq("src"), "left")
-        .withColumn("gain", col("rating") - coalesce(col("internalW"), lit(0L)))
-        .filter(col("gain") > 0)
-        .join(residualDf, "nb")
-        .filter(col("nw") <= col("residual"))
+      val perNode = ratings
         .withColumn("tb", xxhash64(col("nb"), lit(seed)))
         .groupBy(col("src"), col("cur"), col("nw"))
         .agg(
+          sum(when(col("nb") === col("cur"), col("rating")).otherwise(0L)).as("internalW"),
           max_by(
-            struct(col("nb"), col("gain"), col("residual")),
-            struct(col("gain"), (-col("tb")).as("h"), (-col("nb")).as("n"))
+            struct(col("nb"), col("rating")),
+            struct(
+              when(col("nb") === col("cur"), lit(Long.MinValue)).otherwise(col("rating")).as("r"),
+              (-col("tb")).as("h"), (-col("nb")).as("n")
+            )
           ).as("bestS")
         )
         .select(
           col("src").as("node"), col("cur"), col("nw"),
-          col("bestS.nb").as("cand"), col("bestS.gain").as("gain"),
-          col("bestS.residual").as("residual")
+          col("bestS.nb").as("cand"),
+          (col("bestS.rating") - col("internalW")).as("gain")
         )
+        .filter(col("cand") =!= col("cur") && col("gain") > 0)
 
-      // per-target total expected gain (k rows, collected — the allreduce analog)
-      val gainTotals = candidates.groupBy(col("cand")).agg(sum(col("gain")).as("G"))
-        .collect().map(r => r.getAs[Number]("cand").intValue() -> r.getAs[Long]("G")).toMap
+      val candidates = perNode
+        .join(residualDf, "cand")
+        .filter(col("nw") <= col("residual"))
 
-      Log.info(s"lpRefine iter $it: candidates targets=${gainTotals.size}")
-      if (gainTotals.isEmpty) quiet = true
-      else {
-        val gainDf = {
-          import spark.implicits._
-          gainTotals.toSeq.toDF("cand", "G")
-        }
-        // probabilistic acceptance, seeded-deterministic coin
-        val accepted = candidates
+      // O24 probabilistic acceptance: p = (gain/G_b) * (R_b/w) — expected admitted
+      // weight per target <= residual; G_b folded in as an agg+join, coin is a seeded
+      // hash (deterministic, partition-independent)
+      val gainDf = candidates.groupBy(col("cand")).agg(sum(col("gain")).as("G"))
+      val accepted = Ckpt(
+        candidates
           .join(gainDf, "cand")
           .withColumn(
             "p",
@@ -116,31 +119,34 @@ object DistRefiner {
             pmod(xxhash64(col("node"), lit(seed), lit(it)), lit(1000000000L)).cast("double") / 1e9
           )
           .filter(col("coin") < col("p"))
-          .select(col("node"), col("cand"), col("nw"))
-          .cache()
+          .select(col("node"), col("cur"), col("cand"), col("nw")),
+        "ref-accepted")
 
-        // post-check: would any block over-cap? roll back the whole round if so.
-        val deltas = accepted.groupBy(col("cand")).agg(sum(col("nw")).as("in"))
-          .collect().map(r => r.getAs[Number]("cand").intValue() -> r.getAs[Long]("in")).toMap
-        // departures are not credited (conservative, like the coarsener's protocol)
-        val violates = deltas.exists { case (b, in) => blockW(b) + in > lmax }
+      // per-(from, to) weight deltas (<= k^2 rows) — the allreduce analog
+      val deltas = accepted.groupBy(col("cur"), col("cand")).agg(sum(col("nw")).as("mw"))
+        .collect()
+        .map(r => (r.getAs[Number]("cur").intValue(), r.getAs[Number]("cand").intValue(), r.getAs[Long]("mw")))
+      val inW = new Array[Long](k)
+      deltas.foreach { case (_, to, mw) => inW(to) += mw }
+      val okBlocks = (0 until k).filter(b => blockW(b) + inW(b) <= lmax).toSet
+      val surviving =
+        if (okBlocks.size == k) accepted
+        else accepted.filter(col("cand").isin(okBlocks.toSeq.map(Int.box): _*))
 
-        if (!violates && deltas.nonEmpty) {
-          part = Ckpt(
-            part
-              .join(accepted.select(col("node"), col("cand")), Seq("node"), "left")
-              .select(
-                col("node"),
-                coalesce(col("cand"), col("block")).cast("int").as("block"),
-                col("weight")
-              ),
-            "ref-part")
-        } else if (deltas.isEmpty) {
-          quiet = true
-        }
-        // on violation: round dropped entirely (reference rollback), next superstep
-        // re-tries with a different coin (seed, it)
+      part = Ckpt(
+        part
+          .join(surviving.select(col("node"), col("cand")), Seq("node"), "left")
+          .select(
+            col("node"),
+            coalesce(col("cand"), col("block")).cast("int").as("block"),
+            col("weight")
+          ),
+        "ref-part")
+
+      deltas.foreach { case (from, to, mw) =>
+        if (okBlocks(to)) { blockW(from) -= mw; blockW(to) += mw }
       }
+      Log.info(s"lpRefine iter $it: moves=${deltas.map(_._3).sum} rolledBackBlocks=${k - okBlocks.size}")
       it += 1
     }
     part.select(col("node"), col("block"))
@@ -239,12 +245,14 @@ object DistRefiner {
         val wnd2 = Window.partitionBy(col("cand"))
           .orderBy(asc("h2"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val admitted = evictions
-          .withColumn("h2", xxhash64(col("node"), lit(seed + round)))
-          .join(residualDf.select(col("nb").as("cand"), col("residual")), "cand")
-          .withColumn("runW2", sum(col("nw")).over(wnd2))
-          .filter(col("runW2") <= col("residual"))
-          .select(col("node"), col("cand"))
+        val admitted = Ckpt(
+          evictions
+            .withColumn("h2", xxhash64(col("node"), lit(seed + round)))
+            .join(residualDf.select(col("nb").as("cand"), col("residual")), "cand")
+            .withColumn("runW2", sum(col("nw")).over(wnd2))
+            .filter(col("runW2") <= col("residual"))
+            .select(col("node"), col("cand")),
+          "bal-admitted")
 
         val nAdmitted = admitted.count()
         Log.info(s"balance round $round: admitted=$nAdmitted over=${overloaded.size}")
