@@ -31,7 +31,7 @@ object SeqPartitioner {
   /** Hard cutoff of fruitless FM moves per pass (reference default 100,
     * `presets.cc:208`; slightly larger since our passes are cheaper).
     */
-  private val FruitlessMoves = 150
+  private val FruitlessMoves = 350
   private val MaxFmPasses = 10
   private val CoarsestSize = 48
 
@@ -84,13 +84,139 @@ object SeqPartitioner {
     // reference's compute_final_k scheme, `partition_utils.cc:21-50`)
     val (perfect, lmax) = bounds(g, k, eps, boundsOverride)
     val rand = new Random(seed)
-    // recursive bisection with a full multilevel (LP-coarsen + pool + FM) per
-    // bisection, then a final greedy k-way LP polish — empirically stronger on the
-    // Walshaw instances than coarsen-first with LP-only uncoarsening (FM acts on the
-    // full graph inside every bisection)
+    // recursive bisection with a full multilevel (LP-coarsen + pool + 2-way FM) per
+    // bisection, then LP -> k-way FM -> LP polish on the full graph. Measured on the
+    // Walshaw instances this beats coarsen-first-then-uncoarsen-with-kway-refinement
+    // (2-way FM inside every bisection of the FULL graph is the stronger refiner),
+    // so the deep-ML shape lives in the DISTRIBUTED pipeline while the driver stage
+    // stays RB (the reference's initial partitioning is RB too).
     recurse(g, Array.tabulate(g.n)(identity), k, 0, perfect, lmax, rand, part)
-    kwayLpRefine(g, part, k, lmax, rand, rounds = 8)
+    kwayLpRefine(g, part, k, lmax, rand, rounds = 4)
+    kwayFmRefine(g, part, k, lmax)
+    kwayLpRefine(g, part, k, lmax, rand, rounds = 4)
     Result(part, cut(g, part))
+  }
+
+  /** Sequential k-way FM with best-prefix rollback (the driver-side quality pass the
+    * reference gets from its FM refiners; lazy-deletion global PQ over boundary
+    * nodes, stale entries re-validated on pop). Negative-gain moves are explored and
+    * rolled back unless a later prefix improves the cut — the hill-climbing ability
+    * plain LP refinement lacks.
+    */
+  def kwayFmRefine(g: CsrGraph, part: Array[Int], k: Int, lmax: Long): Unit = {
+    var pass = 0
+    var improved = true
+    while (pass < 4 && improved) {
+      improved = kwayFmPass(g, part, k, lmax)
+      pass += 1
+    }
+  }
+
+  private def kwayFmPass(g: CsrGraph, part: Array[Int], k: Int, lmax: Long): Boolean = {
+    val n = g.n
+    val blockW = blockWeights(g, part, k)
+    val ratings = new mutable.LongMap[Long](64)
+
+    // best external move for u under the current partition; returns (gain, target)
+    def bestMove(u: Int): (Long, Int) = {
+      ratings.clear()
+      var i = g.xadj(u)
+      while (i < g.xadj(u + 1)) {
+        val b = part(g.adjncy(i))
+        ratings(b.toLong) = ratings.getOrElse(b.toLong, 0L) + g.adjwgt(i)
+        i += 1
+      }
+      val cur = part(u)
+      val internal = ratings.getOrElse(cur.toLong, 0L)
+      var bg = Long.MinValue
+      var bt = -1
+      ratings.foreachEntry { (bL, r) =>
+        val b = bL.toInt
+        if (b != cur && blockW(b) + g.vwgt(u) <= lmax) {
+          val gain = r - internal
+          if (gain > bg || (gain == bg && b < bt)) { bg = gain; bt = b }
+        }
+      }
+      (bg, bt)
+    }
+
+    val heap = mutable.PriorityQueue.empty[(Long, Int)](Ordering.by(x => (x._1, -x._2)))
+    val locked = new Array[Boolean](n)
+    var u = 0
+    while (u < n) {
+      // seed only boundary nodes (any neighbor in another block)
+      var boundary = false
+      var i = g.xadj(u)
+      while (i < g.xadj(u + 1) && !boundary) {
+        if (part(g.adjncy(i)) != part(u)) boundary = true
+        i += 1
+      }
+      if (boundary) {
+        val (gain, t) = bestMove(u)
+        if (t >= 0) heap.enqueue((gain, u))
+      }
+      u += 1
+    }
+
+    def overload(): Long = {
+      var s = 0L; var b = 0
+      while (b < k) { s += math.max(0L, blockW(b) - lmax); b += 1 }
+      s
+    }
+    var curCut = cut(g, part)
+    val startCut = curCut
+    var bestCut = curCut
+    var curOver = overload()
+    val startOver = curOver
+    var bestOver = curOver
+    val movesBuf = new Array[(Int, Int)](n) // (node, fromBlock)
+    var nMoves = 0
+    var bestPrefix = 0
+    var fruitless = 0
+
+    while (heap.nonEmpty && fruitless < 300 && nMoves < n) {
+      val (heapGain, node) = heap.dequeue()
+      if (!locked(node)) {
+        val (gain, target) = bestMove(node)
+        if (target >= 0) {
+          if (gain != heapGain) {
+            // stale entry: re-insert with the fresh key
+            heap.enqueue((gain, node))
+          } else {
+            val from = part(node)
+            part(node) = target
+            blockW(from) -= g.vwgt(node)
+            blockW(target) += g.vwgt(node)
+            curCut -= gain
+            curOver = overload()
+            locked(node) = true
+            movesBuf(nMoves) = (node, from)
+            nMoves += 1
+            val better = curOver < bestOver || (curOver == bestOver && curCut < bestCut)
+            if (better) { bestCut = curCut; bestOver = curOver; bestPrefix = nMoves; fruitless = 0 }
+            else fruitless += 1
+            // refresh unlocked neighbors
+            var i = g.xadj(node)
+            while (i < g.xadj(node + 1)) {
+              val v = g.adjncy(i)
+              if (!locked(v)) {
+                val (gv, tv) = bestMove(v)
+                if (tv >= 0) heap.enqueue((gv, v))
+              }
+              i += 1
+            }
+          }
+        }
+      }
+    }
+    // rollback beyond the best prefix
+    var mi = nMoves - 1
+    while (mi >= bestPrefix) {
+      val (node, from) = movesBuf(mi)
+      part(node) = from
+      mi -= 1
+    }
+    bestOver < startOver || bestCut < startCut
   }
 
   /** Greedy k-way LP refinement (the sequential analog of the reference's
