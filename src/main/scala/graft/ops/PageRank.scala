@@ -30,50 +30,55 @@ object PageRank {
       damping: Double = 0.85,
       checkpointEvery: Int = 4
   ): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).persist()
-    // every node that appears as src or dst participates (one pass via explode)
+    // Co-partitioning contract: the (big) edge table is hash-partitioned by src ONCE
+    // and pinned; every superstep's gather join then reuses that partitioning, so only
+    // the n-row state table moves through the shuffle — the edge table never
+    // re-shuffles (the north-star "CSR-partitioned adjacency" in DataFrame terms; on a
+    // real cluster this is the bucketed-by-src Iceberg layout).
+    val e = edges.select(col("src"), col("dst")).repartition(col("src")).persist()
+    // static per-node base: node list with out-degree, hash-partitioned by node and
+    // pinned — out-degree rides in the iterated state, saving a join per superstep
     val nodes = e.select(explode(array(col("src"), col("dst"))).as("node"))
       .distinct()
-      .persist()
-    val n = nodes.count().toDouble
     val outDeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).cast("long").as("outdeg"))
+    val base = nodes.join(outDeg, Seq("node"), "left")
+      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+      .repartition(col("node"))
       .persist()
-
+    val n = base.count().toDouble
     // Dangling mass (nodes with no out-edges) is redistributed uniformly. On symmetric
     // link graphs there are none; detect that once so the common case pays no extra
     // per-iteration driver action.
-    val hasDangling = nodes.join(outDeg, Seq("node"), "left_anti").limit(1).count() > 0
+    val hasDangling = base.filter(col("outdeg") === 0L).limit(1).count() > 0
 
-    var ranks = nodes.withColumn("pr", lit(1.0 / n))
+    var state = base.withColumn("pr", lit(1.0 / n)) // (node, outdeg, pr)
     var it = 0
     while (it < iterations) {
-      val withDeg = ranks.join(outDeg, Seq("node"), "left")
       val dangling =
         if (!hasDangling) 0.0
-        else withDeg.filter(col("outdeg").isNull)
+        else state.filter(col("outdeg") === 0L)
           .agg(coalesce(sum(col("pr")), lit(0.0))).first().getDouble(0)
-      val contribs = withDeg
-        .filter(col("outdeg").isNotNull)
+      val contribs = state
+        .filter(col("outdeg") > 0L)
         .join(e, col("node") === col("src"))
         .select(col("dst"), (col("pr") / col("outdeg")).as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("contrib"))
-      ranks = nodes
+      state = base
         .join(contribs, col("node") === col("dst"), "left")
         .select(
-          col("node"),
+          col("node"), col("outdeg"),
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("contrib"), lit(0.0)) + lit(dangling / n)))
             .as("pr")
         )
       it += 1
       if (it % checkpointEvery == 0 && it < iterations) {
-        ranks = Ckpt(ranks, "pr-ranks")
+        state = Ckpt(state, "pr-ranks").repartition(col("node"))
       }
     }
-    val out = ranks
-    e.unpersist(); // nodes/outDeg stay pinned until the result is consumed by caller
+    val out = state.select(col("node"), col("pr"))
     out
   }
 

@@ -41,6 +41,8 @@ object DistCoarsener {
       maxIter: Int = 5,
       seed: Long = 42L
   ): DataFrame = {
+    // edge table hash-partitioned by the gather key ONCE and pinned (co-partitioning)
+    val e = edges.select(col("src"), col("dst"), col("w")).repartition(col("dst")).persist()
     var labels = Ckpt(nodeW.select(col("node"), col("node").as("label"), col("weight")), "lpc-labels")
 
     var it = 0
@@ -58,7 +60,7 @@ object DistCoarsener {
       val clusterW = labels.groupBy(col("label")).agg(sum(col("weight")).as("cw"))
 
       // gather: per (active node, neighbor label) summed edge weight
-      val ratings = edges
+      val ratings = e
         .join(labels.select(col("node").as("dst"), col("label").as("nl")), "dst")
         .join(
           active.select(col("node").as("src"), col("label").as("cur"), col("weight").as("nw")),
@@ -126,6 +128,7 @@ object DistCoarsener {
       labels = updated
       it += 1
     }
+    e.unpersist()
     labels.select(col("node"), col("label"))
   }
 

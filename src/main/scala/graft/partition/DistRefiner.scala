@@ -41,6 +41,9 @@ object DistRefiner {
       maxIter: Int = 5,
       seed: Long = 42L
   ): DataFrame = {
+    // edge table hash-partitioned by the gather key ONCE and pinned — supersteps
+    // reuse it and only the n-row state shuffles (co-partitioning contract)
+    val e = edges.select(col("src"), col("dst"), col("w")).repartition(col("dst")).persist()
     var part = Ckpt(
       part0.join(nodeW, "node").select(col("node"), col("block"), col("weight")),
       "ref-part")
@@ -70,7 +73,7 @@ object DistRefiner {
 
       // gather: per (active node, adjacent block) summed edge weight, then ONE
       // aggregation yielding both the internal weight and the best external block
-      val ratings = edges
+      val ratings = e
         .join(part.select(col("node").as("dst"), col("block").as("nb")), "dst")
         .join(
           active.select(col("node").as("src"), col("block").as("cur"), col("weight").as("nw")),
@@ -149,6 +152,7 @@ object DistRefiner {
       Log.info(s"lpRefine iter $it: moves=${deltas.map(_._3).sum} rolledBackBlocks=${k - okBlocks.size}")
       it += 1
     }
+    e.unpersist()
     part.select(col("node"), col("block"))
   }
 
