@@ -176,7 +176,14 @@ object SparkEntry {
     // per-kind feature stats (deterministic; rows-only)
     "q22_media_stats" -> ((s, dir) =>
       MediaPipeline.featureStats(MediaPipeline.extractFeatures(
-        MediaPipeline.syntheticMedia(s, 200))))
+        MediaPipeline.syntheticMedia(s, 200)))),
+    // streaming/batch parity surface: the windowed aggregation the streaming module
+    // runs, replayed over the static events table
+    "q23_event_windows" -> ((s, dir) =>
+      graft.streaming.EventStreams
+        .windowedCountsBatch(s.read.parquet(s"$dir/events.parquet"), "1 hour")
+        .select(col("window_start"), col("event_type"), col("events"),
+          round(col("total_value"), 6).as("total_value")))
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -298,6 +305,10 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INT) AS rank
         |  FROM scored
         |)
-        |SELECT qid, rank, nid, cos FROM ranked WHERE rank <= 5""".stripMargin
+        |SELECT qid, rank, nid, cos FROM ranked WHERE rank <= 5""".stripMargin,
+    "q23_event_windows" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        |       CAST(count(*) AS BIGINT) AS events, ROUND(sum(value), 6) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin
   )
 }
