@@ -156,6 +156,116 @@ object DistRefiner {
     part.select(col("node"), col("block"))
   }
 
+  /** JET refiner (SURVEY O20, reference `refinement/jet/jet_refiner.cc` — a
+    * bulk-synchronous refiner designed for GPUs, i.e. exactly Spark's model). Per
+    * round:
+    *   1. every node picks its best external block, keeping moves with gain
+    *      > -c * internal (negative-gain tolerance c annealed toward 0 — the
+    *      hill-climbing LP lacks);
+    *   2. afterwards-filter: gains are recomputed UNDER the tentative assignment
+    *      (neighbors that also plan to move count at their target blocks); only moves
+    *      still non-negative survive — this kills oscillations;
+    *   3. all surviving moves apply unconditionally, then the overload balancer
+    *      restores feasibility;
+    *   4. the best feasible snapshot by cut across rounds wins.
+    */
+  def jetRefine(
+      spark: SparkSession,
+      edges: DataFrame,
+      nodeW: DataFrame,
+      part0: DataFrame,
+      k: Int,
+      lmax: Long,
+      rounds: Int = 6,
+      seed: Long = 42L
+  ): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w")).repartition(col("dst")).persist()
+    var part = Ckpt(
+      part0.join(nodeW, "node").select(col("node"), col("block"), col("weight")),
+      "jet-part")
+    var best = part
+    var bestCut = Metrics.edgeCut(e, part.select(col("node"), col("block")))
+    Log.info(s"jet start cut=$bestCut")
+
+    var r = 0
+    while (r < rounds) {
+      val c = 0.75 * (rounds - 1 - r).toDouble / math.max(1, rounds - 1) // anneal to 0
+
+      // phase 1: per-node best external block under negative-gain tolerance
+      val ratings = e
+        .join(part.select(col("node").as("dst"), col("block").as("nb")), "dst")
+        .join(part.select(col("node").as("src"), col("block").as("cur"), col("weight").as("nw")), "src")
+        .groupBy(col("src"), col("cur"), col("nw"), col("nb"))
+        .agg(sum(col("w")).as("rating"))
+      val tentative = ratings
+        .withColumn("tb", xxhash64(col("nb"), lit(seed + r)))
+        .groupBy(col("src"), col("cur"), col("nw"))
+        .agg(
+          sum(when(col("nb") === col("cur"), col("rating")).otherwise(0L)).as("internalW"),
+          max_by(
+            struct(col("nb"), col("rating")),
+            struct(
+              when(col("nb") === col("cur"), lit(Long.MinValue)).otherwise(col("rating")).as("rr"),
+              (-col("tb")).as("h"), (-col("nb")).as("n")
+            )
+          ).as("bestS")
+        )
+        .select(
+          col("src").as("node"), col("cur"), col("nw"),
+          col("bestS.nb").as("cand"),
+          (col("bestS.rating") - col("internalW")).as("gain"),
+          col("internalW")
+        )
+        .filter(
+          col("cand") =!= col("cur") &&
+            col("gain").cast("double") > lit(-c) * col("internalW").cast("double")
+        )
+
+      // phase 2: afterwards-filter — neighbors that plan to move count at their
+      // TENTATIVE blocks; keep only moves whose recomputed gain stays positive
+      val tentLabels = part
+        .join(tentative.select(col("node"), col("cand")), Seq("node"), "left")
+        .select(col("node"), coalesce(col("cand"), col("block")).as("tblock"))
+      val recomputed = e
+        .join(tentLabels.select(col("node").as("dst"), col("tblock").as("tnb")), "dst")
+        .join(tentative.select(col("node").as("src"), col("cur"), col("cand")), "src")
+        .groupBy(col("src"), col("cur"), col("cand"))
+        .agg(
+          sum(when(col("tnb") === col("cand"), col("w")).otherwise(0L)).as("toCand"),
+          sum(when(col("tnb") === col("cur"), col("w")).otherwise(0L)).as("toCur")
+        )
+      val accepted = Ckpt(
+        recomputed
+          .filter(col("toCand") - col("toCur") > 0)
+          .select(col("src").as("node"), col("cand")),
+        "jet-accepted")
+
+      // phase 3: apply all surviving moves, then rebalance
+      val moved = Ckpt(
+        part
+          .join(accepted, Seq("node"), "left")
+          .select(
+            col("node"),
+            coalesce(col("cand"), col("block")).cast("int").as("block"),
+            col("weight")
+          ),
+        "jet-part")
+      part = balance(spark, e, nodeW, moved.select(col("node"), col("block")), k, lmax, seed = seed + r)
+        .join(nodeW, "node")
+        .select(col("node"), col("block"), col("weight"))
+      part = Ckpt(part, "jet-part")
+
+      val blockW = Metrics.blockWeights(part.select(col("node"), col("block")), nodeW, k)
+      val cut = Metrics.edgeCut(e, part.select(col("node"), col("block")))
+      val feasible = Metrics.isBalanced(blockW, lmax)
+      Log.info(s"jet round $r: c=$c cut=$cut feasible=$feasible")
+      if (feasible && cut < bestCut) { bestCut = cut; best = part }
+      r += 1
+    }
+    e.unpersist()
+    best.select(col("node"), col("block"))
+  }
+
   /** Overload balancer (SURVEY O17 role): for each overloaded block, evict a
     * (relative-gain desc)-ranked prefix of members — just enough running weight to
     * cover the overload — into their best non-overloaded fitting block. A few

@@ -100,8 +100,15 @@ final class Partitioner private (
         spark, fineEdges, fineNodeW, projected, k, ctx.maxBlockWeight,
         maxIter = refineIters, seed = seed + levelNo
       )
-      part = DistRefiner
+      val balanced = DistRefiner
         .balance(spark, fineEdges, fineNodeW, refined, k, ctx.maxBlockWeight, seed = seed + levelNo)
+      // JET pass (O20): negative-gain-tolerant bulk moves with an afterwards-filter —
+      // recovers cut quality that positive-gain LP cannot reach from a projected
+      // partition; keeps the best feasible snapshot, so it never regresses
+      part = DistRefiner.jetRefine(
+        spark, fineEdges, fineNodeW, balanced, k, ctx.maxBlockWeight,
+        rounds = 4, seed = seed + 1000 + levelNo
+      )
       levelNo -= 1
     }
 
