@@ -94,7 +94,90 @@ object SeqPartitioner {
     kwayLpRefine(g, part, k, lmax, rand, rounds = 4)
     kwayFmRefine(g, part, k, lmax)
     kwayLpRefine(g, part, k, lmax, rand, rounds = 4)
+    vcycle(g, part, k, lmax, rand, cycles = 2)
     Result(part, cut(g, part))
+  }
+
+  /** V-cycles (reference VCYCLE scheme, `partitioning/deep/vcycle_deep_multilevel.cc`
+    * role): re-coarsen with clustering RESTRICTED to same-block merges (so the coarse
+    * graph inherits a consistent partition), refine at the coarse granularity — where
+    * a single move relocates a whole cluster, escaping fine-level local minima — and
+    * project back + polish. Keeps the best feasible result.
+    */
+  private def vcycle(g: CsrGraph, part: Array[Int], k: Int, lmax: Long, rand: Random, cycles: Int): Unit = {
+    var bestCut = cut(g, part)
+    var cycle = 0
+    while (cycle < cycles) {
+      // alternate coarsening granularity across cycles for move diversity
+      val cap = math.max(1L, g.totalNodeWeight / (math.max(4 * k, 64) >> (cycle % 2)))
+      val clustering = lpClusterRestricted(g, part, cap, rand)
+      val (coarse, mapping) = contract(g, clustering)
+      if (coarse.n < g.n) {
+        // coarse partition: every member of a coarse node shares a block by construction
+        val coarsePart = new Array[Int](coarse.n)
+        var u = 0
+        while (u < g.n) { coarsePart(mapping(u)) = part(u); u += 1 }
+        kwayFmRefine(coarse, coarsePart, k, lmax)
+        kwayLpRefine(coarse, coarsePart, k, lmax, rand, rounds = 3)
+        val candidate = new Array[Int](g.n)
+        u = 0
+        while (u < g.n) { candidate(u) = coarsePart(mapping(u)); u += 1 }
+        kwayFmRefine(g, candidate, k, lmax)
+        kwayLpRefine(g, candidate, k, lmax, rand, rounds = 3)
+        val cCut = cut(g, candidate)
+        val feasible = blockWeights(g, candidate, k).max <= lmax
+        if (feasible && cCut < bestCut) {
+          bestCut = cCut
+          System.arraycopy(candidate, 0, part, 0, g.n)
+        }
+      }
+      cycle += 1
+    }
+  }
+
+  /** LP clustering restricted to same-block merges (V-cycle coarsening). */
+  private def lpClusterRestricted(g: CsrGraph, part: Array[Int], maxClusterWeight: Long, rand: Random): Array[Int] = {
+    val cluster = Array.tabulate(g.n)(identity)
+    val cweight = g.vwgt.clone()
+    val order = rand.shuffle((0 until g.n).toVector).toArray
+    val ratings = new mutable.LongMap[Long](64)
+    var iter = 0
+    while (iter < 3) {
+      var oi = 0
+      while (oi < g.n) {
+        val u = order(oi)
+        if (g.degree(u) > 0) {
+          ratings.clear()
+          var i = g.xadj(u)
+          while (i < g.xadj(u + 1)) {
+            val v = g.adjncy(i)
+            if (part(v) == part(u)) { // same-block neighbors only
+              val c = cluster(v)
+              ratings(c.toLong) = ratings.getOrElse(c.toLong, 0L) + g.adjwgt(i)
+            }
+            i += 1
+          }
+          val cu = cluster(u)
+          var best = cu
+          var bestRating = ratings.getOrElse(cu.toLong, 0L)
+          ratings.foreachEntry { (cL, r) =>
+            val c = cL.toInt
+            if (c != cu && (r > bestRating || (r == bestRating && c < best)) &&
+              cweight(c) + g.vwgt(u) <= maxClusterWeight && part(c) == part(u)) {
+              best = c; bestRating = r
+            }
+          }
+          if (best != cu) {
+            cweight(cu) -= g.vwgt(u)
+            cweight(best) += g.vwgt(u)
+            cluster(u) = best
+          }
+        }
+        oi += 1
+      }
+      iter += 1
+    }
+    cluster
   }
 
   /** Sequential k-way FM with best-prefix rollback (the driver-side quality pass the
