@@ -1,0 +1,15 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object EntrySmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = graft.SparkEntry.entry(spark)
+    val rows = df.collect()
+    println(s"ENTRY_ROWS=${rows.length}")
+    rows.take(3).foreach(r => println("ENTRY_SAMPLE " + r))
+    spark.stop()
+  }
+}
