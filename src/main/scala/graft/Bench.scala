@@ -69,9 +69,10 @@ object Bench {
 
     val refineIters = 5
     val nodeW = edges.select(col("src").as("node")).distinct().withColumn("weight", lit(1L))
+    val eRef = edges.repartition(col("dst")).persist() // refiner precondition
     val (_, tRefine) = time {
       graft.partition.DistRefiner.lpRefine(
-        spark, edges, nodeW, partRes.assignment, 16, partRes.ctx.maxBlockWeight,
+        spark, eRef, nodeW, partRes.assignment, 16, partRes.ctx.maxBlockWeight,
         maxIter = refineIters, seed = 7L
       ).count()
     }

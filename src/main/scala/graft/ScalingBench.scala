@@ -60,13 +60,14 @@ object ScalingBench {
       // refinement superstep throughput on a hash-assigned k=16 partition (refinement
       // cost does not depend on partition quality); same difference timing
       val k = 16
+      val eRef = edges.repartition(col("dst")).persist() // refiner precondition
       val part0 = nodeW.select(col("node"), pmod(col("node"), lit(k)).cast("int").as("block"))
       val total = nodeW.count()
       val lmax = math.ceil(1.03 * total / k).toLong
       def timeRefine(iters: Int, seed: Long): Double = {
         val t0 = System.nanoTime()
         graft.partition.DistRefiner.lpRefine(
-          spark, edges, nodeW, part0, k, lmax, maxIter = iters, seed = seed
+          spark, eRef, nodeW, part0, k, lmax, maxIter = iters, seed = seed
         ).count()
         (System.nanoTime() - t0) / 1e9
       }

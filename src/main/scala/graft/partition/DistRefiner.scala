@@ -41,9 +41,10 @@ object DistRefiner {
       maxIter: Int = 5,
       seed: Long = 42L
   ): DataFrame = {
-    // edge table hash-partitioned by the gather key ONCE and pinned — supersteps
-    // reuse it and only the n-row state shuffles (co-partitioning contract)
-    val e = edges.select(col("src"), col("dst"), col("w")).repartition(col("dst")).persist()
+    // PRECONDITION (co-partitioning contract): callers hash-partition `edges` by the
+    // gather key (dst) once per level and pin it — see Partitioner/ScalingBench — so
+    // supersteps reuse that layout and only the n-row state shuffles.
+    val e = edges
     var part = Ckpt(
       part0.join(nodeW, "node").select(col("node"), col("block"), col("weight")),
       "ref-part")
@@ -152,7 +153,6 @@ object DistRefiner {
       Log.info(s"lpRefine iter $it: moves=${deltas.map(_._3).sum} rolledBackBlocks=${k - okBlocks.size}")
       it += 1
     }
-    e.unpersist()
     part.select(col("node"), col("block"))
   }
 
@@ -179,7 +179,7 @@ object DistRefiner {
       rounds: Int = 6,
       seed: Long = 42L
   ): DataFrame = {
-    val e = edges.select(col("src"), col("dst"), col("w")).repartition(col("dst")).persist()
+    val e = edges // precondition: hash-partitioned by dst + pinned by the caller
     var part = Ckpt(
       part0.join(nodeW, "node").select(col("node"), col("block"), col("weight")),
       "jet-part")
@@ -262,7 +262,6 @@ object DistRefiner {
       if (feasible && cut < bestCut) { bestCut = cut; best = part }
       r += 1
     }
-    e.unpersist()
     best.select(col("node"), col("block"))
   }
 

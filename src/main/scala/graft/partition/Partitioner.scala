@@ -96,19 +96,24 @@ final class Partitioner private (
       val projected = level.mapping
         .join(part.withColumnRenamed("node", "cnode"), "cnode")
         .select(col("node"), col("block"))
+      // hash-partition this level's edges by the gather key ONCE; every refinement
+      // stage below reuses the layout (only vertex state shuffles per superstep)
+      val fe = fineEdges.select(col("src"), col("dst"), col("w"))
+        .repartition(col("dst")).persist()
       val refined = DistRefiner.lpRefine(
-        spark, fineEdges, fineNodeW, projected, k, ctx.maxBlockWeight,
+        spark, fe, fineNodeW, projected, k, ctx.maxBlockWeight,
         maxIter = refineIters, seed = seed + levelNo
       )
       val balanced = DistRefiner
-        .balance(spark, fineEdges, fineNodeW, refined, k, ctx.maxBlockWeight, seed = seed + levelNo)
+        .balance(spark, fe, fineNodeW, refined, k, ctx.maxBlockWeight, seed = seed + levelNo)
       // JET pass (O20): negative-gain-tolerant bulk moves with an afterwards-filter —
       // recovers cut quality that positive-gain LP cannot reach from a projected
       // partition; keeps the best feasible snapshot, so it never regresses
       part = DistRefiner.jetRefine(
-        spark, fineEdges, fineNodeW, balanced, k, ctx.maxBlockWeight,
+        spark, fe, fineNodeW, balanced, k, ctx.maxBlockWeight,
         rounds = 4, seed = seed + 1000 + levelNo
       )
+      fe.unpersist()
       levelNo -= 1
     }
 
