@@ -39,7 +39,9 @@ object DistRefiner {
       k: Int,
       lmax: Long,
       maxIter: Int = 5,
-      seed: Long = 42L
+      seed: Long = 42L,
+      runId: String = "",
+      level: Int = -1
   ): DataFrame = {
     // PRECONDITION (co-partitioning contract): callers hash-partition `edges` by the
     // gather key (dst) once per level and pin it — see Partitioner/ScalingBench — so
@@ -151,6 +153,8 @@ object DistRefiner {
         if (okBlocks(to)) { blockW(from) -= mw; blockW(to) += mw }
       }
       Log.info(s"lpRefine iter $it: moves=${deltas.map(_._3).sum} rolledBackBlocks=${k - okBlocks.size}")
+      if (runId.nonEmpty)
+        graft.util.IterMetricsCollector.add(runId, level, it, deltas.map(_._3).sum)
       it += 1
     }
     part.select(col("node"), col("block"))
@@ -177,7 +181,9 @@ object DistRefiner {
       k: Int,
       lmax: Long,
       rounds: Int = 6,
-      seed: Long = 42L
+      seed: Long = 42L,
+      runId: String = "",
+      level: Int = -1
   ): DataFrame = {
     val e = edges // precondition: hash-partitioned by dst + pinned by the caller
     var part = Ckpt(
@@ -259,6 +265,8 @@ object DistRefiner {
       val cut = Metrics.edgeCut(e, part.select(col("node"), col("block")))
       val feasible = Metrics.isBalanced(blockW, lmax)
       Log.info(s"jet round $r: c=$c cut=$cut feasible=$feasible")
+      if (runId.nonEmpty)
+        graft.util.IterMetricsCollector.add(runId, level, r, -1L, cut, Metrics.imbalance(blockW))
       if (feasible && cut < bestCut) { bestCut = cut; best = part }
       r += 1
     }

@@ -49,6 +49,7 @@ final class Partitioner private (
 
   /** @return (assignment (node, block), cut, blockWeights) */
   def computePartition(spark: SparkSession): Partitioner.Result = {
+    val runId = "partition-" + seed + "-" + System.identityHashCode(this)
     val e = Ckpt(edges.select(col("src"), col("dst"), col("w")), "edges")
     val nodeW = Ckpt(
       nodeWeights.getOrElse(
@@ -102,7 +103,7 @@ final class Partitioner private (
         .repartition(col("dst")).persist()
       val refined = DistRefiner.lpRefine(
         spark, fe, fineNodeW, projected, k, ctx.maxBlockWeight,
-        maxIter = refineIters, seed = seed + levelNo
+        maxIter = refineIters, seed = seed + levelNo, runId = runId, level = levelNo
       )
       val balanced = DistRefiner
         .balance(spark, fe, fineNodeW, refined, k, ctx.maxBlockWeight, seed = seed + levelNo)
@@ -111,7 +112,7 @@ final class Partitioner private (
       // partition; keeps the best feasible snapshot, so it never regresses
       part = DistRefiner.jetRefine(
         spark, fe, fineNodeW, balanced, k, ctx.maxBlockWeight,
-        rounds = 4, seed = seed + 1000 + levelNo
+        rounds = 4, seed = seed + 1000 + levelNo, runId = runId, level = levelNo
       )
       fe.unpersist()
       levelNo -= 1
@@ -119,7 +120,8 @@ final class Partitioner private (
 
     val blockW = Metrics.blockWeights(part, nodeW, k)
     val cut = Metrics.edgeCut(e, part)
-    Partitioner.Result(part, cut, blockW, Metrics.imbalance(blockW), ctx)
+    Partitioner.Result(part, cut, blockW, Metrics.imbalance(blockW), ctx,
+      graft.util.IterMetricsCollector.drain(runId))
   }
 }
 
@@ -129,7 +131,8 @@ object Partitioner {
       cut: Long,
       blockWeights: Array[Long],
       imbalance: Double,
-      ctx: PartCtx
+      ctx: PartCtx,
+      iterMetrics: Seq[graft.model.IterMetrics] = Seq.empty
   ) {
     def feasible: Boolean = blockWeights.forall(_ <= ctx.maxBlockWeight)
   }

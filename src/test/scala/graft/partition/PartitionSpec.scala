@@ -53,6 +53,9 @@ class WalshawQualitySpec extends SparkFunSuite {
       .setDriverThreshold(300L).computePartition(spark)
     assert(res.cut <= 2000L, s"dist cut ${res.cut}")
     assert(res.feasible, s"dist imbalance ${res.imbalance}")
+    // per-iteration metrics (M6): refinement + JET supersteps recorded per level
+    assert(res.iterMetrics.nonEmpty)
+    assert(res.iterMetrics.exists(m => m.cut > 0), "JET rounds should record cuts")
   }
 }
 
