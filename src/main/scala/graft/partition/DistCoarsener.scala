@@ -132,6 +132,60 @@ object DistCoarsener {
     labels.select(col("node"), col("label"))
   }
 
+  /** Two-hop clustering (SURVEY O3, reference `label_propagation.h:931-1100`):
+    * leftover singleton clusters that share the same "favored" neighbor cluster (their
+    * argmax-rated cluster, cap ignored) are merged with each other — they are two hops
+    * apart through that cluster. Applied only when a level shrinks poorly (<50%,
+    * reference gate `lp_clusterer.cc:164-166`); admission per favored-group is a
+    * ranked prefix within the weight cap, new label = first admitted member.
+    */
+  def twoHopMerge(
+      spark: SparkSession,
+      edges: DataFrame,
+      clustering: DataFrame, // (node, label, weight? no: (node,label)) + nodeW below
+      nodeW: DataFrame,
+      cap: Long,
+      seed: Long
+  ): DataFrame = {
+    val labeled = clustering.join(nodeW, "node") // (node, label, weight)
+    val sizes = labeled.groupBy(col("label")).agg(count(lit(1)).as("sz"), sum(col("weight")).as("cw"))
+    val singletons = labeled
+      .join(sizes.filter(col("sz") === 1).select(col("label")), "label")
+      .filter(col("node") === col("label")) // self-labelled singleton clusters
+      .select(col("node"), col("weight"))
+
+    // favored cluster: argmax rating over neighbor labels, cap ignored
+    val favored = edges
+      .join(clustering.select(col("node").as("dst"), col("label").as("nl")), "dst")
+      .join(singletons.select(col("node").as("src"), col("weight").as("nw")), "src")
+      .groupBy(col("src"), col("nw"), col("nl"))
+      .agg(sum(col("w")).as("rating"))
+      .withColumn("tb", xxhash64(col("nl"), lit(seed)))
+      .groupBy(col("src"), col("nw"))
+      .agg(max_by(col("nl"), struct(col("rating"), (-col("tb")).as("h"))).as("fav"))
+
+    // within each favored group: chunk members into weight-capped clusters
+    // (running-sum chunking in deterministic hash order), relabel each chunk to its
+    // first member — the two-hop CLUSTER strategy
+    val wnd = Window.partitionBy(col("fav"))
+      .orderBy(asc("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val chunked = favored
+      .withColumn("h", xxhash64(col("src"), lit(seed)))
+      .withColumn("runW", sum(col("nw")).over(wnd))
+      .withColumn("chunk", floor((col("runW") - col("nw")) / cap))
+    val wnd2 = Window.partitionBy(col("fav"), col("chunk"))
+      .orderBy(asc("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val merged = chunked
+      .withColumn("newLabel", first(col("src")).over(wnd2))
+      .select(col("src").as("node"), col("newLabel"))
+
+    clustering
+      .join(merged, Seq("node"), "left")
+      .select(col("node"), coalesce(col("newLabel"), col("label")).as("label"))
+  }
+
   /** Contract a clustering (SURVEY O7): coarse node = cluster label (sparse Long id —
     * dense relabel is only needed at the driver handoff). One shuffle hash-agg each
     * for nodes and edges; self-loops dropped.
@@ -179,7 +233,16 @@ object DistCoarsener {
       // (reference EPSILON_BLOCK_WEIGHT, `coarsening/max_cluster_weights.h:17-46`)
       val divisor = math.min(math.max(n / C, 2L), k.toLong)
       val cap = math.max(1L, (eps * totalW / divisor).toLong)
-      val clustering = lpCluster(spark, edges, nodeW, cap, maxIter = 5, seed = seed + levels.length)
+      var clustering = lpCluster(spark, edges, nodeW, cap, maxIter = 5, seed = seed + levels.length)
+      // two-hop rescue (O3): if LP shrank < 50%, merge singleton clusters that share
+      // a favored cluster (reference gate, `lp_clusterer.cc:164-166`)
+      val nClusters = clustering.select(col("label")).distinct().count()
+      if (nClusters >= n / 2) {
+        clustering = Ckpt(
+          twoHopMerge(spark, edges, clustering, nodeW, cap, seed + levels.length),
+          "twohop")
+        Log.info(s"two-hop merge: $nClusters -> ${clustering.select(col("label")).distinct().count()} clusters")
+      }
       val level = contract(edges, nodeW, clustering)
       val cEdges = Ckpt(level.coarseEdges, "cedges")
       val cNodeW = Ckpt(level.coarseNodeW, "cnodew")

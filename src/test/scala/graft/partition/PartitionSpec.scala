@@ -163,3 +163,30 @@ class BalancePropertySpec extends SparkFunSuite {
     }
   }
 }
+
+/** Two-hop clustering (O3): singleton clusters sharing a favored cluster merge into
+  * weight-capped chunks — the shrink rescue for hub-skewed graphs where plain LP
+  * stalls (reference `label_propagation.h:931-1100`).
+  */
+class TwoHopSpec extends SparkFunSuite {
+  test("star-graph singletons merge into capped chunks around the hub") {
+    val s = spark
+    import s.implicits._
+    val star = undirectedUnit((1L to 8L).map(l => (0L, l)))
+    val nodeW = (0L to 8L).map((_, 1L)).toDF("node", "weight")
+    // all-singleton clustering (as if LP made no progress)
+    val clustering = (0L to 8L).map(n => (n, n)).toDF("node", "label")
+    val merged = DistCoarsener.twoHopMerge(spark, star, clustering, nodeW, cap = 3L, seed = 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // leaves 1..8 all favor the hub's cluster (0) -> chunks of weight <= 3
+    val leafLabels = (1L to 8L).map(merged)
+    val groups = leafLabels.groupBy(identity).view.mapValues(_.size).toMap
+    assert(groups.values.forall(_ <= 3), s"chunk exceeded cap: $groups")
+    assert(groups.size <= 3, s"expected <=3 chunks of 8 leaves at cap 3: $groups")
+    assert(leafLabels.toSet.subsetOf((1L to 8L).toSet)) // labels are member ids
+    // determinism under repartition
+    val again = DistCoarsener.twoHopMerge(spark, star.repartition(5), clustering, nodeW, 3L, 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === merged)
+  }
+}
