@@ -18,9 +18,11 @@ import graft.util.{Ckpt, Log}
   *  3. accept each candidate move with probability
   *     p = (gain/G_b) * (R_b / w(u)) — in expectation the admitted weight fits R_b;
   *     the coin is a seeded hash (deterministic, partition-independent);
-  *  4. re-aggregate block weights; if ANY block over-caps, roll back the whole round
-  *     (`lp_refiner.cc:296-333`) — so the balance invariant holds at every superstep
-  *     end, the property our ScalaTest property checks assert.
+  *  4. aggregate the (from, to) move deltas (k^2 rows — the allreduce analog); any
+  *     TARGET block that would over-cap rolls back all of its moves this round (a
+  *     finer-grained version of the reference's whole-round rollback,
+  *     `lp_refiner.cc:296-333`) — so the balance invariant holds exactly at every
+  *     superstep end, the property our ScalaTest property checks assert.
   *
   * Plus an overload balancer (SURVEY O17 role) as a safety net: ranked-prefix
   * evictions from overloaded blocks by relative gain.
