@@ -86,17 +86,13 @@ object HtmlExtract {
       .select(col("url").as("srcUrl"), normalizeUrl(col("url"), col("l.href")).as("dstUrl"))
       .filter(col("dstUrl").isNotNull && col("dstUrl") =!= col("srcUrl"))
 
-  /** S9: mint dense vertex ids 0..n-1 for urls. Window-rank over the sorted distinct
-    * urls — fine to ~10^8 on a real cluster via range-partitioned rank; the
-    * hash-sparse alternative (xxhash64 ids, no minting) is what the partitioner
-    * actually uses internally, so dense ids are only needed at driver handoffs and
-    * for compact storage.
+  /** S9: mint dense vertex ids 0..n-1 for urls via the distributed rank-compaction
+    * join ([[graft.graph.Ranks.denseRank]]): range-partitioned local ranks +
+    * per-partition offset join — no global window, no single-partition exchange, so
+    * the path scales to 10^9+ urls (PlanAudit asserts the plan shape).
     */
-  def urlDictionary(urls: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    urls.select(col("url")).distinct()
-      .withColumn("node", row_number().over(Window.orderBy(col("url"))).cast("long") - 1L)
-  }
+  def urlDictionary(urls: DataFrame): DataFrame =
+    graft.graph.Ranks.denseRank(urls, "url", "node")
 
   /** Full production path: pages -> link table -> dictionary-encoded symmetric
     * weighted edge table (src, dst, w) + the dictionary (url, node).

@@ -91,15 +91,12 @@ object LabelPropagation {
   }
 
   /** Dense-rank relabel: make label ids consecutive 0..c-1 (reference O5,
-    * `label_propagation.h:272-319`). Sort-based rank over the distinct labels —
-    * the "dense_rank join" used everywhere (cluster contraction, url->id minting).
+    * `label_propagation.h:272-319`) via the distributed rank-compaction join
+    * ([[graft.graph.Ranks.denseRank]]) — range-partitioned local ranks + offset join,
+    * no single-partition window, so relabeling scales with the cluster.
     */
   def denseRelabel(labels: DataFrame, labelCol: String = "label"): DataFrame = {
-    val distinctLabels = labels.select(col(labelCol)).distinct()
-    val ranked = distinctLabels.withColumn(
-      "newId",
-      row_number().over(Window.orderBy(col(labelCol))).cast("long") - 1L
-    )
+    val ranked = graft.graph.Ranks.denseRank(labels, labelCol, "newId")
     labels.join(ranked, labelCol).drop(labelCol).withColumnRenamed("newId", labelCol)
   }
 }

@@ -101,6 +101,25 @@ object PlanAudit {
     if (simple.contains("*(1)") && uncodegened.isEmpty) println("PASS codegen_spans")
     else { failures += 1; println(s"FAIL codegen_spans outside=$uncodegened"); println(simple.take(1500)) }
 
+    // 7. url->id dense rank (S9) must not contain a global window or a
+    // single-partition exchange — the round-1 scale-killer, now rank-compaction
+    {
+      import org.apache.spark.sql.execution.window.WindowExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+      val urls = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(concat(lit("doc://"), col("doc_id")).as("url"))
+      val plan = graft.graph.Ranks.localRanked(urls, "url").queryExecution.executedPlan
+      val globalWin = plan.collectWithSubqueries {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      val singles = plan.collectWithSubqueries {
+        case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+      }
+      if (globalWin.isEmpty && singles.isEmpty) println("PASS dense_rank_distributed")
+      else { failures += 1; println(s"FAIL dense_rank_distributed win=$globalWin single=$singles") }
+    }
+
     println(if (failures == 0) "ALL PLAN CHECKS PASS" else s"$failures CHECKS FAILED")
     spark.stop()
     if (failures > 0) sys.exit(1)
