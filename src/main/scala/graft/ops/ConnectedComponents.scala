@@ -34,7 +34,8 @@ object ConnectedComponents {
         .distinct(),
       "cc-pairs")
 
-    val allNodes = edges.select(col("src").as("node")).distinct().persist()
+    // consumed exactly once (final labeling join) — no persist needed
+    val allNodes = edges.select(col("src").as("node")).distinct()
 
     def signature(df: DataFrame): (Long, Long) = {
       // xor-fold of pair hashes: order-independent, overflow-free under ANSI mode

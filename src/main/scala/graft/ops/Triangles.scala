@@ -32,7 +32,9 @@ object Triangles {
 
   /** Total triangle count (one row: `triangles BIGINT`). */
   def count(spark: SparkSession, edges: DataFrame): DataFrame = {
-    val o = orient(edges).persist()
+    // materialized once (parquet round-trip) so the 3-way self-join reads files, not
+    // a 3x-recomputed orient plan — and nothing stays pinned in executor memory
+    val o = graft.util.Ckpt(orient(edges), "tri-orient")
     val e1 = o.as("e1")
     val e2 = o.as("e2")
     val e3 = o.as("e3")
@@ -45,7 +47,7 @@ object Triangles {
 
   /** Per-node triangle participation counts: (node, triangles). */
   def perNode(spark: SparkSession, edges: DataFrame): DataFrame = {
-    val o = orient(edges).persist()
+    val o = graft.util.Ckpt(orient(edges), "tri-orient")
     val e1 = o.as("e1")
     val e2 = o.as("e2")
     val e3 = o.as("e3")

@@ -172,8 +172,17 @@ object DistRefiner {
     *      (neighbors that also plan to move count at their target blocks); only moves
     *      still non-negative survive — this kills oscillations;
     *   3. all surviving moves apply unconditionally, then the overload balancer
-    *      restores feasibility;
-    *   4. the best feasible snapshot by cut across rounds wins.
+    *      restores feasibility — invoked ONLY when the move deltas show an overloaded
+    *      block;
+    *   4. the best snapshot by (feasible, cut) across rounds wins — lexicographic, so
+    *      any feasible round beats an infeasible input partition.
+    *
+    * Scale shape (one-job-per-superstep rule, round-2 fix): exactly TWO full edge
+    * passes per round — the phase-1 gather (checkpointed per-node table) and the
+    * phase-2 recompute. The round's edge cut falls out of the phase-1 gather for free
+    * (sum of external ratings / 2 over the checkpointed per-node table — no separate
+    * edges-join-part aggregation), and block weights are maintained driver-side from
+    * the k^2-row accepted-move deltas (the allreduce analog), never re-aggregated.
     */
   def jetRefine(
       spark: SparkSession,
@@ -191,43 +200,66 @@ object DistRefiner {
     var part = Ckpt(
       part0.join(nodeW, "node").select(col("node"), col("block"), col("weight")),
       "jet-part")
-    var best = part
-    var bestCut = Metrics.edgeCut(e, part.select(col("node"), col("block")))
-    Log.info(s"jet start cut=$bestCut")
+    val blockW: Array[Long] =
+      Metrics.blockWeights(part.select(col("node"), col("block")), nodeW, k)
+
+    var best: DataFrame = null
+    var bestCut = Long.MaxValue
+    var bestFeasible = false
+    def consider(snapshot: DataFrame, cut: Long, feasible: Boolean): Unit = {
+      val better =
+        if (feasible != bestFeasible) feasible
+        else cut < bestCut
+      if (best == null || better) { best = snapshot; bestCut = cut; bestFeasible = feasible }
+    }
 
     var r = 0
     while (r < rounds) {
       val c = 0.75 * (rounds - 1 - r).toDouble / math.max(1, rounds - 1) // anneal to 0
 
-      // phase 1: per-node best external block under negative-gain tolerance
+      // phase 1: ONE gather pass -> per-node table with internal/external weight and
+      // the best external block; checkpointed so the cut aggregate and the tentative
+      // filter below both read the (n-row) parquet, not the full plan twice
       val ratings = e
         .join(part.select(col("node").as("dst"), col("block").as("nb")), "dst")
         .join(part.select(col("node").as("src"), col("block").as("cur"), col("weight").as("nw")), "src")
         .groupBy(col("src"), col("cur"), col("nw"), col("nb"))
         .agg(sum(col("w")).as("rating"))
-      val tentative = ratings
-        .withColumn("tb", xxhash64(col("nb"), lit(seed + r)))
-        .groupBy(col("src"), col("cur"), col("nw"))
-        .agg(
-          sum(when(col("nb") === col("cur"), col("rating")).otherwise(0L)).as("internalW"),
-          max_by(
-            struct(col("nb"), col("rating")),
-            struct(
-              when(col("nb") === col("cur"), lit(Long.MinValue)).otherwise(col("rating")).as("rr"),
-              (-col("tb")).as("h"), (-col("nb")).as("n")
-            )
-          ).as("bestS")
-        )
-        .select(
-          col("src").as("node"), col("cur"), col("nw"),
-          col("bestS.nb").as("cand"),
-          (col("bestS.rating") - col("internalW")).as("gain"),
-          col("internalW")
-        )
-        .filter(
-          col("cand") =!= col("cur") &&
-            col("gain").cast("double") > lit(-c) * col("internalW").cast("double")
-        )
+      val perNode = Ckpt(
+        ratings
+          .withColumn("tb", xxhash64(col("nb"), lit(seed + r)))
+          .groupBy(col("src"), col("cur"), col("nw"))
+          .agg(
+            sum(when(col("nb") === col("cur"), col("rating")).otherwise(0L)).as("internalW"),
+            sum(when(col("nb") =!= col("cur"), col("rating")).otherwise(0L)).as("extW"),
+            max_by(
+              struct(col("nb"), col("rating")),
+              struct(
+                when(col("nb") === col("cur"), lit(Long.MinValue)).otherwise(col("rating")).as("rr"),
+                (-col("tb")).as("h"), (-col("nb")).as("n")
+              )
+            ).as("bestS")
+          )
+          .select(
+            col("src").as("node"), col("cur"), col("nw"),
+            col("bestS.nb").as("cand"),
+            (col("bestS.rating") - col("internalW")).as("gain"),
+            col("internalW"), col("extW")
+          ),
+        "jet-pernode")
+
+      // the cut of the partition ENTERING this round, free from the gather
+      val cutNow = perNode.agg(coalesce(sum(col("extW")), lit(0L))).first().getLong(0) / 2
+      val feasibleNow = Metrics.isBalanced(blockW, lmax)
+      consider(part, cutNow, feasibleNow)
+      Log.info(s"jet round $r: c=$c enteringCut=$cutNow feasible=$feasibleNow")
+      if (runId.nonEmpty)
+        graft.util.IterMetricsCollector.add(runId, level, r, -1L, cutNow, Metrics.imbalance(blockW))
+
+      val tentative = perNode.filter(
+        col("cand") =!= col("cur") &&
+          col("gain").cast("double") > lit(-c) * col("internalW").cast("double")
+      )
 
       // phase 2: afterwards-filter — neighbors that plan to move count at their
       // TENTATIVE blocks; keep only moves whose recomputed gain stays positive
@@ -236,8 +268,8 @@ object DistRefiner {
         .select(col("node"), coalesce(col("cand"), col("block")).as("tblock"))
       val recomputed = e
         .join(tentLabels.select(col("node").as("dst"), col("tblock").as("tnb")), "dst")
-        .join(tentative.select(col("node").as("src"), col("cur"), col("cand")), "src")
-        .groupBy(col("src"), col("cur"), col("cand"))
+        .join(tentative.select(col("node").as("src"), col("cur"), col("cand"), col("nw")), "src")
+        .groupBy(col("src"), col("cur"), col("cand"), col("nw"))
         .agg(
           sum(when(col("tnb") === col("cand"), col("w")).otherwise(0L)).as("toCand"),
           sum(when(col("tnb") === col("cur"), col("w")).otherwise(0L)).as("toCur")
@@ -245,33 +277,40 @@ object DistRefiner {
       val accepted = Ckpt(
         recomputed
           .filter(col("toCand") - col("toCur") > 0)
-          .select(col("src").as("node"), col("cand")),
+          .select(col("src").as("node"), col("cur"), col("cand"), col("nw")),
         "jet-accepted")
 
-      // phase 3: apply all surviving moves, then rebalance
-      val moved = Ckpt(
+      // phase 3: apply all surviving moves; block weights from the k^2-row deltas
+      part = Ckpt(
         part
-          .join(accepted, Seq("node"), "left")
+          .join(accepted.select(col("node"), col("cand")), Seq("node"), "left")
           .select(
             col("node"),
             coalesce(col("cand"), col("block")).cast("int").as("block"),
             col("weight")
           ),
         "jet-part")
-      part = balance(spark, e, nodeW, moved.select(col("node"), col("block")), k, lmax, seed = seed + r)
-        .join(nodeW, "node")
-        .select(col("node"), col("block"), col("weight"))
-      part = Ckpt(part, "jet-part")
+      val deltas = accepted.groupBy(col("cur"), col("cand")).agg(sum(col("nw")).as("mw"))
+        .collect()
+        .map(row => (row.getAs[Number]("cur").intValue(), row.getAs[Number]("cand").intValue(), row.getAs[Long]("mw")))
+      deltas.foreach { case (from, to, mw) => blockW(from) -= mw; blockW(to) += mw }
 
-      val blockW = Metrics.blockWeights(part.select(col("node"), col("block")), nodeW, k)
-      val cut = Metrics.edgeCut(e, part.select(col("node"), col("block")))
-      val feasible = Metrics.isBalanced(blockW, lmax)
-      Log.info(s"jet round $r: c=$c cut=$cut feasible=$feasible")
-      if (runId.nonEmpty)
-        graft.util.IterMetricsCollector.add(runId, level, r, -1L, cut, Metrics.imbalance(blockW))
-      if (feasible && cut < bestCut) { bestCut = cut; best = part }
+      // rebalance only when the deltas show an overloaded block
+      if (!Metrics.isBalanced(blockW, lmax)) {
+        val (balanced, balW) = balanceTracked(
+          spark, e, nodeW, part.select(col("node"), col("block")), k, lmax,
+          seed = seed + r, blockW0 = Some(blockW.clone()))
+        part = Ckpt(
+          balanced.join(nodeW, "node").select(col("node"), col("block"), col("weight")),
+          "jet-part")
+        System.arraycopy(balW, 0, blockW, 0, k)
+      }
       r += 1
     }
+    // the last round's result was never cut-evaluated inside the loop — one final pass
+    val finalCut = Metrics.edgeCut(e, part.select(col("node"), col("block")))
+    consider(part, finalCut, Metrics.isBalanced(blockW, lmax))
+    Log.info(s"jet done: bestCut=$bestCut feasible=$bestFeasible")
     best.select(col("node"), col("block"))
   }
 
@@ -289,14 +328,33 @@ object DistRefiner {
       lmax: Long,
       maxRounds: Int = 8,
       seed: Long = 42L
-  ): DataFrame = {
+  ): DataFrame =
+    balanceTracked(spark, edges, nodeW, part0, k, lmax, maxRounds, seed, None)._1
+
+  /** [[balance]] with driver-tracked block weights: pass the current weights in
+    * (skipping the initial n-row aggregation) and get the final weights back; per
+    * round the weights update from the admitted-move deltas (k^2 rows, read from the
+    * already-checkpointed admitted table) instead of a full re-aggregation.
+    */
+  def balanceTracked(
+      spark: SparkSession,
+      edges: DataFrame,
+      nodeW: DataFrame,
+      part0: DataFrame,
+      k: Int,
+      lmax: Long,
+      maxRounds: Int = 8,
+      seed: Long = 42L,
+      blockW0: Option[Array[Long]] = None
+  ): (DataFrame, Array[Long]) = {
     var part = Ckpt(
       part0.join(nodeW, "node").select(col("node"), col("block"), col("weight")),
       "bal-part")
+    val blockW = blockW0.getOrElse(
+      Metrics.blockWeights(part.select(col("node"), col("block")), nodeW, k))
     var round = 0
     var done = false
     while (round < maxRounds && !done) {
-      val blockW = Metrics.blockWeights(part.select(col("node"), col("block")), nodeW, k)
       val overloaded = (0 until k).filter(b => blockW(b) > lmax)
       if (overloaded.isEmpty) done = true
       else {
@@ -362,7 +420,7 @@ object DistRefiner {
           .join(overloadDf, "cur")
           .withColumn("runW", sum(col("nw")).over(wnd))
           .filter(col("runW") - col("nw") < col("overload"))
-          .select(col("src").as("node"), col("cand"), col("nw"))
+          .select(col("src").as("node"), col("cur"), col("cand"), col("nw"))
 
         // cap check per target: admit ranked prefix within residual
         val wnd2 = Window.partitionBy(col("cand"))
@@ -374,16 +432,21 @@ object DistRefiner {
             .join(residualDf.select(col("nb").as("cand"), col("residual")), "cand")
             .withColumn("runW2", sum(col("nw")).over(wnd2))
             .filter(col("runW2") <= col("residual"))
-            .select(col("node"), col("cand")),
+            .select(col("node"), col("cur"), col("cand"), col("nw")),
           "bal-admitted")
 
-        val nAdmitted = admitted.count()
-        Log.info(s"balance round $round: admitted=$nAdmitted over=${overloaded.size}")
-        if (nAdmitted == 0) done = true // no capacity anywhere: stop (infeasible input)
+        // k^2-row deltas from the checkpointed admitted table: updates the tracked
+        // block weights AND doubles as the convergence count (no separate count job)
+        val deltas = admitted.groupBy(col("cur"), col("cand")).agg(sum(col("nw")).as("mw"))
+          .collect()
+          .map(r => (r.getAs[Number]("cur").intValue(), r.getAs[Number]("cand").intValue(), r.getAs[Long]("mw")))
+        Log.info(s"balance round $round: moveGroups=${deltas.length} over=${overloaded.size}")
+        if (deltas.isEmpty) done = true // no capacity anywhere: stop (infeasible input)
         else {
+          deltas.foreach { case (from, to, mw) => blockW(from) -= mw; blockW(to) += mw }
           part = Ckpt(
             part
-              .join(admitted, Seq("node"), "left")
+              .join(admitted.select(col("node"), col("cand")), Seq("node"), "left")
               .select(
                 col("node"),
                 coalesce(col("cand"), col("block")).cast("int").as("block"),
@@ -394,6 +457,6 @@ object DistRefiner {
       }
       round += 1
     }
-    part.select(col("node"), col("block"))
+    (part.select(col("node"), col("block")), blockW)
   }
 }

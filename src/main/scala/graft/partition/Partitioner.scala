@@ -57,12 +57,22 @@ final class Partitioner private (
       ),
       "nodew")
 
-    val stats = nodeW.agg(sum(col("weight")), max(col("weight"))).first()
+    val stats = nodeW.agg(sum(col("weight")), max(col("weight")), count(lit(1))).first()
     val ctx = PartCtx(k, epsilon, stats.getLong(0), stats.getLong(1))
+    val n = stats.getLong(2)
 
-    // 1. distributed coarsening
+    // scale-aware driver handoff (round-2 fix): an explicit threshold wins; otherwise
+    // clamp(n/4, 512, 100k) so any graph big enough to benefit runs >=1 distributed
+    // coarsening level instead of being silently collected whole
+    val targetN =
+      if (driverThreshold > 0) driverThreshold
+      else math.min(100000L, math.max(512L, n / 4))
+
+    // 1. distributed coarsening (node target + edge cap: the driver collect below is
+    // bounded by EDGES too, since coarsening densifies graphs)
     val (levels, cEdges, cNodeW) =
-      DistCoarsener.coarsen(spark, e, nodeW, k, epsilon, driverThreshold, seed)
+      DistCoarsener.coarsen(spark, e, nodeW, k, epsilon, targetN, seed,
+        targetM = Partitioner.DriverEdgeCap)
 
     // 2. coarsest graph -> driver, dense-relabel sparse coarse ids, partition
     val coarseNodes = cNodeW.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
@@ -137,9 +147,16 @@ object Partitioner {
     def feasible: Boolean = blockWeights.forall(_ <= ctx.maxBlockWeight)
   }
 
+  /** Max coarse edges collected to the driver: coarsening densifies, so the handoff
+    * must be bounded by edges, not just nodes (a 100k-node coarse web graph can carry
+    * 10^8+ edges). 2M edge triples ≈ 50 MB on the driver — comfortable.
+    */
+  val DriverEdgeCap = 2000000L
+
   /** Entry point: `Partitioner(edges).setK(16).setEpsilon(0.03).computePartition(spark)`.
     * `edges` must be a symmetric (src, dst, w) table (use Graphs.symmetrize).
+    * Driver threshold <= 0 (default) = scale-aware: min(100k, max(512, n/4)).
     */
   def apply(edges: DataFrame): Partitioner =
-    new Partitioner(edges, None, 2, 0.03, 42L, 100000L, 5)
+    new Partitioner(edges, None, 2, 0.03, 42L, -1L, 5)
 }

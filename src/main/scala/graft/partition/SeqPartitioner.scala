@@ -40,24 +40,37 @@ object SeqPartitioner {
   /** Best of `attempts` independent seeded runs, preferring feasible then min-cut —
     * the role of the reference's ASYNC_PARALLEL initial-partitioning worker pool
     * (`partitioning/deep/async_initial_partitioning.cc`): repeat on the small graph,
-    * keep the winner. Deterministic given the seed.
+    * keep the winner. The attempts are embarrassingly parallel (each owns its Random
+    * and output array; the CsrGraph is shared read-only), so they run on a local
+    * thread pool — the driver-side stage no longer serializes a 32-core box.
+    * Deterministic given the seed: selection compares (feasible, cut, attempt index).
     */
   def partitionKwayBest(
       g: CsrGraph, k: Int, eps: Double, seed: Long, attempts: Int = 3,
       boundsOverride: Option[(Long, Long)] = None
   ): Result = {
-    val (perfect, lmax) = bounds(g, k, eps, boundsOverride)
-    var best: Result = null
-    var bestKey = (false, Long.MaxValue)
-    var a = 0
-    while (a < attempts) {
-      val r = partitionKway(g, k, eps, seed + a * 0x9e3779b9L, boundsOverride)
-      val feasible = blockWeights(g, r.part, k).max <= lmax
-      val better = if (feasible != bestKey._1) feasible else r.cut < bestKey._2
-      if (best == null || better) { best = r; bestKey = (feasible, r.cut) }
-      a += 1
-    }
-    best
+    val (_, lmax) = bounds(g, k, eps, boundsOverride)
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(attempts, Runtime.getRuntime.availableProcessors())))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val runs = Future.sequence((0 until attempts).toList.map { a =>
+        Future {
+          val r = partitionKway(g, k, eps, seed + a * 0x9e3779b9L, boundsOverride)
+          (blockWeights(g, r.part, k).max <= lmax, r)
+        }
+      })
+      val results = Await.result(runs, Duration.Inf)
+      var best: Result = null
+      var bestKey = (false, Long.MaxValue)
+      results.foreach { case (feasible, r) =>
+        val better = if (feasible != bestKey._1) feasible else r.cut < bestKey._2
+        if (best == null || better) { best = r; bestKey = (feasible, r.cut) }
+      }
+      best
+    } finally pool.shutdown()
   }
 
   /** (perfect, Lmax) — derived from g unless the caller supplies the FINE-level bounds
