@@ -59,15 +59,17 @@ object DistCoarsener {
       // against the running total)
       val clusterW = labels.groupBy(col("label")).agg(sum(col("weight")).as("cw"))
 
-      // gather: per (active node, neighbor label) summed edge weight
+      // gather: per (active node, neighbor label) summed edge weight. Agg-then-join
+      // shape: the m-row stream shuffles once into the (src, nl) aggregation; the
+      // n-row active state joins the (already small) aggregate after.
       val ratings = e
         .join(labels.select(col("node").as("dst"), col("label").as("nl")), "dst")
+        .groupBy(col("src"), col("nl"))
+        .agg(sum(col("w")).as("rating"))
         .join(
           active.select(col("node").as("src"), col("label").as("cur"), col("weight").as("nw")),
           "src"
         )
-        .groupBy(col("src"), col("cur"), col("nw"), col("nl"))
-        .agg(sum(col("w")).as("rating"))
 
       // argmax per node among labels whose CURRENT weight + node weight fits the cap
       // (pre-filter; the post-protocol below guarantees the cap against concurrent
@@ -98,34 +100,32 @@ object DistCoarsener {
         .partitionBy(col("cand"))
         .orderBy(desc("gain"), asc("h"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      // checkpoint the (small) admitted-move set BEFORE it is consumed twice (label
-      // update + convergence count) — otherwise the whole superstep plan executes
-      // twice per iteration
-      val admitted = Ckpt(
-        movers
-          .withColumn("h", xxhash64(col("node"), lit(seed + it)))
-          .join(capacity, "cand")
-          .withColumn("runW", sum(col("nw")).over(wnd))
-          .filter(col("runW") <= col("residual"))
-          .select(col("node"), col("cand")),
-        "lpc-admitted"
-      )
+      val admitted = movers
+        .withColumn("h", xxhash64(col("node"), lit(seed + it)))
+        .join(capacity, "cand")
+        .withColumn("runW", sum(col("nw")).over(wnd))
+        .filter(col("runW") <= col("residual"))
+        .select(col("node"), col("cand"))
 
-      val updated = Ckpt(
+      // ONE heavy job per superstep: the staged checkpoint carries the moved flag, so
+      // the convergence count is a cheap scan of the checkpoint (the admitted plan is
+      // consumed exactly once — inside this write)
+      val staged = Ckpt(
         labels
           .join(admitted, Seq("node"), "left")
           .select(
             col("node"),
             coalesce(col("cand"), col("label")).as("label"),
-            col("weight")
+            col("weight"),
+            col("cand").isNotNull.as("moved")
           ),
         "lpc-labels"
       )
 
-      val moves = admitted.count()
+      val moves = staged.filter(col("moved")).count()
       Log.info(s"lpCluster superstep $it: moves=$moves")
       quiet = if (moves == 0L) quiet + 1 else 0
-      labels = updated
+      labels = staged.select(col("node"), col("label"), col("weight"))
       it += 1
     }
     e.unpersist()
@@ -226,8 +226,10 @@ object DistCoarsener {
       seed: Long,
       targetM: Long = Long.MaxValue
   ): (Seq[DistCoarsener.Level], DataFrame, DataFrame) = {
-    var edges = Ckpt(edges0, "edges")
-    var nodeW = Ckpt(nodeW0, "nodew")
+    // callers pass already-checkpointed inputs (Partitioner does); re-checkpointing
+    // here would add two redundant full-table write jobs per run
+    var edges = edges0
+    var nodeW = nodeW0
     var n = nodeW.count()
     var m = if (targetM == Long.MaxValue) 0L else edges.count()
     val totalW = nodeW.agg(sum(col("weight"))).first().getLong(0)

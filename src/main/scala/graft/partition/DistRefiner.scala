@@ -43,8 +43,11 @@ object DistRefiner {
       maxIter: Int = 5,
       seed: Long = 42L,
       runId: String = "",
-      level: Int = -1
+      level: Int = -1,
+      lastBlockW: Option[Array[Long]] = None
   ): DataFrame = {
+    // `lastBlockW`: caller-supplied k-slot array that receives the exact tracked
+    // block weights at return (avoids a full re-aggregation after a polish pass).
     // PRECONDITION (co-partitioning contract): callers hash-partition `edges` by the
     // gather key (dst) once per level and pin it — see Partitioner/ScalingBench — so
     // supersteps reuse that layout and only the n-row state shuffles.
@@ -76,16 +79,17 @@ object DistRefiner {
       val parity = pmod(xxhash64(col("node"), lit(seed)) + lit(it), lit(2))
       val active = part.filter(parity === 0)
 
-      // gather: per (active node, adjacent block) summed edge weight, then ONE
-      // aggregation yielding both the internal weight and the best external block
+      // gather: per (active node, adjacent block) summed edge weight (agg-then-join:
+      // m-row stream shuffles once; the n-row active state joins the aggregate), then
+      // ONE aggregation yielding both the internal weight and the best external block
       val ratings = e
         .join(part.select(col("node").as("dst"), col("block").as("nb")), "dst")
+        .groupBy(col("src"), col("nb"))
+        .agg(sum(col("w")).as("rating"))
         .join(
           active.select(col("node").as("src"), col("block").as("cur"), col("weight").as("nw")),
           "src"
         )
-        .groupBy(col("src"), col("cur"), col("nw"), col("nb"))
-        .agg(sum(col("w")).as("rating"))
 
       val perNode = ratings
         .withColumn("tb", xxhash64(col("nb"), lit(seed)))
@@ -115,41 +119,45 @@ object DistRefiner {
       // weight per target <= residual; G_b folded in as an agg+join, coin is a seeded
       // hash (deterministic, partition-independent)
       val gainDf = candidates.groupBy(col("cand")).agg(sum(col("gain")).as("G"))
-      val accepted = Ckpt(
-        candidates
-          .join(gainDf, "cand")
-          .withColumn(
-            "p",
-            (col("gain").cast("double") / col("G")) * (col("residual").cast("double") / col("nw"))
-          )
-          .withColumn(
-            "coin",
-            pmod(xxhash64(col("node"), lit(seed), lit(it)), lit(1000000000L)).cast("double") / 1e9
-          )
-          .filter(col("coin") < col("p"))
-          .select(col("node"), col("cur"), col("cand"), col("nw")),
-        "ref-accepted")
+      val accepted = candidates
+        .join(gainDf, "cand")
+        .withColumn(
+          "p",
+          (col("gain").cast("double") / col("G")) * (col("residual").cast("double") / col("nw"))
+        )
+        .withColumn(
+          "coin",
+          pmod(xxhash64(col("node"), lit(seed), lit(it)), lit(1000000000L)).cast("double") / 1e9
+        )
+        .filter(col("coin") < col("p"))
+        .select(col("node"), col("cand"))
 
-      // per-(from, to) weight deltas (<= k^2 rows) — the allreduce analog
-      val deltas = accepted.groupBy(col("cur"), col("cand")).agg(sum(col("nw")).as("mw"))
+      // ONE heavy job per superstep: stage (old block, tentative cand) in a single
+      // checkpoint; the k^2-row delta aggregate (the allreduce analog) reads the
+      // staged parquet, and the rollback is a lazy projection over it
+      val staged = Ckpt(
+        part
+          .join(accepted, Seq("node"), "left")
+          .select(col("node"), col("block"), col("weight"), col("cand")),
+        "ref-staged")
+      val deltas = staged.filter(col("cand").isNotNull)
+        .groupBy(col("block").as("cur"), col("cand")).agg(sum(col("weight")).as("mw"))
         .collect()
         .map(r => (r.getAs[Number]("cur").intValue(), r.getAs[Number]("cand").intValue(), r.getAs[Long]("mw")))
       val inW = new Array[Long](k)
       deltas.foreach { case (_, to, mw) => inW(to) += mw }
       val okBlocks = (0 until k).filter(b => blockW(b) + inW(b) <= lmax).toSet
-      val surviving =
-        if (okBlocks.size == k) accepted
-        else accepted.filter(col("cand").isin(okBlocks.toSeq.map(Int.box): _*))
 
-      part = Ckpt(
-        part
-          .join(surviving.select(col("node"), col("cand")), Seq("node"), "left")
-          .select(
-            col("node"),
-            coalesce(col("cand"), col("block")).cast("int").as("block"),
-            col("weight")
-          ),
-        "ref-part")
+      // apply with per-target-block rollback (violating TARGET blocks drop all their
+      // moves this round) — a projection over the staged parquet, no extra write
+      val applyCand =
+        if (okBlocks.size == k) col("cand")
+        else when(col("cand").isin(okBlocks.toSeq.map(Int.box): _*), col("cand"))
+      part = staged.select(
+        col("node"),
+        coalesce(applyCand, col("block")).cast("int").as("block"),
+        col("weight")
+      )
 
       deltas.foreach { case (from, to, mw) =>
         if (okBlocks(to)) { blockW(from) -= mw; blockW(to) += mw }
@@ -159,6 +167,7 @@ object DistRefiner {
         graft.util.IterMetricsCollector.add(runId, level, it, deltas.map(_._3).sum)
       it += 1
     }
+    lastBlockW.foreach(out => System.arraycopy(blockW, 0, out, 0, k))
     part.select(col("node"), col("block"))
   }
 
@@ -184,6 +193,9 @@ object DistRefiner {
     * edges-join-part aggregation), and block weights are maintained driver-side from
     * the k^2-row accepted-move deltas (the allreduce analog), never re-aggregated.
     */
+  final case class JetResult(
+      part: DataFrame, cut: Long, blockWeights: Array[Long], feasible: Boolean)
+
   def jetRefine(
       spark: SparkSession,
       edges: DataFrame,
@@ -195,7 +207,7 @@ object DistRefiner {
       seed: Long = 42L,
       runId: String = "",
       level: Int = -1
-  ): DataFrame = {
+  ): JetResult = {
     val e = edges // precondition: hash-partitioned by dst + pinned by the caller
     var part = Ckpt(
       part0.join(nodeW, "node").select(col("node"), col("block"), col("weight")),
@@ -206,11 +218,14 @@ object DistRefiner {
     var best: DataFrame = null
     var bestCut = Long.MaxValue
     var bestFeasible = false
+    var bestBlockW: Array[Long] = blockW.clone()
     def consider(snapshot: DataFrame, cut: Long, feasible: Boolean): Unit = {
       val better =
         if (feasible != bestFeasible) feasible
         else cut < bestCut
-      if (best == null || better) { best = snapshot; bestCut = cut; bestFeasible = feasible }
+      if (best == null || better) {
+        best = snapshot; bestCut = cut; bestFeasible = feasible; bestBlockW = blockW.clone()
+      }
     }
 
     var r = 0
@@ -219,12 +234,17 @@ object DistRefiner {
 
       // phase 1: ONE gather pass -> per-node table with internal/external weight and
       // the best external block; checkpointed so the cut aggregate and the tentative
-      // filter below both read the (n-row) parquet, not the full plan twice
+      // filter below both read the (n-row) parquet, not the full plan twice.
+      // Plan shape: aggregate FIRST (ratings keyed by (src, nb) need no per-src
+      // state), join the n-row part table after — the m-row stream shuffles once
+      // (map-side partial agg), never a second time for the src-side join.
       val ratings = e
         .join(part.select(col("node").as("dst"), col("block").as("nb")), "dst")
-        .join(part.select(col("node").as("src"), col("block").as("cur"), col("weight").as("nw")), "src")
-        .groupBy(col("src"), col("cur"), col("nw"), col("nb"))
+        .groupBy(col("src"), col("nb"))
         .agg(sum(col("w")).as("rating"))
+        .join(
+          part.select(col("node").as("src"), col("block").as("cur"), col("weight").as("nw")),
+          "src")
       val perNode = Ckpt(
         ratings
           .withColumn("tb", xxhash64(col("nb"), lit(seed + r)))
@@ -266,31 +286,52 @@ object DistRefiner {
       val tentLabels = part
         .join(tentative.select(col("node"), col("cand")), Seq("node"), "left")
         .select(col("node"), coalesce(col("cand"), col("block")).as("tblock"))
+      // same agg-then-join shape: per-(src, tentative-neighbor-block) sums first,
+      // then the (small) tentative mover table joins the aggregate
       val recomputed = e
         .join(tentLabels.select(col("node").as("dst"), col("tblock").as("tnb")), "dst")
+        .groupBy(col("src"), col("tnb"))
+        .agg(sum(col("w")).as("tw"))
         .join(tentative.select(col("node").as("src"), col("cur"), col("cand"), col("nw")), "src")
         .groupBy(col("src"), col("cur"), col("cand"), col("nw"))
         .agg(
-          sum(when(col("tnb") === col("cand"), col("w")).otherwise(0L)).as("toCand"),
-          sum(when(col("tnb") === col("cur"), col("w")).otherwise(0L)).as("toCur")
+          sum(when(col("tnb") === col("cand"), col("tw")).otherwise(0L)).as("toCand"),
+          sum(when(col("tnb") === col("cur"), col("tw")).otherwise(0L)).as("toCur")
         )
-      val accepted = Ckpt(
-        recomputed
-          .filter(col("toCand") - col("toCur") > 0)
-          .select(col("src").as("node"), col("cur"), col("cand"), col("nw")),
-        "jet-accepted")
+      // per-target capacity prefix (O23-style): admit movers in recomputed-gain order
+      // while the running weight fits residual + a small JET slack (temporary
+      // overload stays bounded, so the rebalance below is rare and one-round cheap)
+      val slack = math.max(1L, lmax / 10)
+      import spark.implicits._
+      val capDf = broadcast(
+        (0 until k).map(b => (b, math.max(0L, lmax - blockW(b)) + slack))
+          .toDF("cand", "cap"))
+      val wndA = Window.partitionBy(col("cand"))
+        .orderBy(desc("again"), asc("ha"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val accepted = recomputed
+        .filter(col("toCand") - col("toCur") > 0)
+        .withColumn("again", col("toCand") - col("toCur"))
+        .withColumn("ha", xxhash64(col("src"), lit(seed + r)))
+        .join(capDf, "cand")
+        .withColumn("runWA", sum(col("nw")).over(wndA))
+        .filter(col("runWA") <= col("cap"))
+        .select(col("src").as("node"), col("cand"))
 
-      // phase 3: apply all surviving moves; block weights from the k^2-row deltas
-      part = Ckpt(
+      // phase 3: ONE staged checkpoint (old block + accepted cand); the k^2-row
+      // deltas read the staged parquet, the applied partition is a projection of it
+      val staged = Ckpt(
         part
-          .join(accepted.select(col("node"), col("cand")), Seq("node"), "left")
-          .select(
-            col("node"),
-            coalesce(col("cand"), col("block")).cast("int").as("block"),
-            col("weight")
-          ),
-        "jet-part")
-      val deltas = accepted.groupBy(col("cur"), col("cand")).agg(sum(col("nw")).as("mw"))
+          .join(accepted, Seq("node"), "left")
+          .select(col("node"), col("block"), col("weight"), col("cand")),
+        "jet-staged")
+      part = staged.select(
+        col("node"),
+        coalesce(col("cand"), col("block")).cast("int").as("block"),
+        col("weight")
+      )
+      val deltas = staged.filter(col("cand").isNotNull)
+        .groupBy(col("block").as("cur"), col("cand")).agg(sum(col("weight")).as("mw"))
         .collect()
         .map(row => (row.getAs[Number]("cur").intValue(), row.getAs[Number]("cand").intValue(), row.getAs[Long]("mw")))
       deltas.foreach { case (from, to, mw) => blockW(from) -= mw; blockW(to) += mw }
@@ -311,7 +352,7 @@ object DistRefiner {
     val finalCut = Metrics.edgeCut(e, part.select(col("node"), col("block")))
     consider(part, finalCut, Metrics.isBalanced(blockW, lmax))
     Log.info(s"jet done: bestCut=$bestCut feasible=$bestFeasible")
-    best.select(col("node"), col("block"))
+    JetResult(best.select(col("node"), col("block")), bestCut, bestBlockW, bestFeasible)
   }
 
   /** Overload balancer (SURVEY O17 role): for each overloaded block, evict a
@@ -358,95 +399,122 @@ object DistRefiner {
       val overloaded = (0 until k).filter(b => blockW(b) > lmax)
       if (overloaded.isEmpty) done = true
       else {
-        val overSet = overloaded.toSet
-        val residual = (0 until k).map(b => b -> math.max(0L, lmax - blockW(b))).toMap
         import spark.implicits._
-        val residualDf = residual.toSeq.toDF("nb", "residual")
-        val overloadDf = overloaded.map(b => b -> (blockW(b) - lmax)).toDF("cur", "overload")
+        val overSet = overloaded.toSet
+        val totalOverload = overloaded.map(b => blockW(b) - lmax).sum
 
         val members = part.filter(col("block").isin(overloaded.map(Int.box): _*))
           .select(col("node").as("src"), col("block").as("cur"), col("weight").as("nw"))
 
-        // rating of each member toward every other block (0-degree members fall back
-        // to a hash-chosen target)
+        // ONE gather pass: per-(member, adjacent block) rating (agg-then-join shape);
+        // keep each member's top-3 external targets so the driver matcher below has
+        // alternatives when a residual fills up
         val ratings = edges
           .join(part.select(col("node").as("dst"), col("block").as("nb")), "dst")
-          .join(members, "src")
-          .groupBy(col("src"), col("cur"), col("nw"), col("nb"))
+          .groupBy(col("src"), col("nb"))
           .agg(sum(col("w")).as("rating"))
+          .join(members, "src")
         val internal = ratings.filter(col("nb") === col("cur"))
           .select(col("src"), col("rating").as("internalW"))
-        val best = ratings
+        val ranked = ratings
           .filter(col("nb") =!= col("cur") && !col("nb").isin(overSet.toSeq.map(Int.box): _*))
-          .join(residualDf, "nb")
-          .filter(col("nw") <= col("residual"))
           .join(internal, Seq("src"), "left")
           .withColumn("gain", col("rating") - coalesce(col("internalW"), lit(0L)))
-          .groupBy(col("src"), col("cur"), col("nw"))
-          .agg(
-            max_by(
-              struct(col("nb"), col("gain")),
-              struct(col("gain"), (-xxhash64(col("nb"), lit(seed))).as("h"))
-            ).as("bestS")
-          )
-          .select(
-            col("src"), col("cur"), col("nw"),
-            col("bestS.nb").as("cand"), col("bestS.gain").as("gain")
-          )
+          .withColumn("hb", xxhash64(col("nb"), lit(seed)))
+        val top3 = ranked
+          .withColumn(
+            "trk",
+            row_number().over(
+              Window.partitionBy(col("src")).orderBy(desc("gain"), asc("hb"), asc("nb"))))
+          .filter(col("trk") <= 3)
 
-        // fallback: members with NO edge into any non-overloaded block (deeply interior
-        // nodes of an overloaded region) target the emptiest block — the reference's
-        // "random fallback" (`overload_balancer.cc:51-160` role); ranked last by a
-        // strongly negative gain so adjacent candidates are always preferred.
-        val fallbackTarget = residual.filter(_._2 > 0).toSeq.sortBy(-_._2).headOption.map(_._1)
-        val withFallback = fallbackTarget match {
-          case None => best
-          case Some(fb) =>
-            val noCand = members.join(best.select(col("src")), Seq("src"), "left_anti")
-              .withColumn("cand", lit(fb))
-              .withColumn("gain", lit(Long.MinValue / 4))
-              .select(col("src"), col("cur"), col("nw"), col("cand"), col("gain"))
-            best.unionAll(noCand)
-        }
-
-        // relative gain ordering (gain scaled by weight — reference relative_gain.h
-        // role), prefix just covering the overload
+        // eviction prefix per overloaded block: enough best-relative-gain members to
+        // cover ~2x the overload (slack for targets that fill up), capped so the
+        // driver collect stays bounded at any scale — leftover overload just runs
+        // another (rare) gather round
         val wnd = Window.partitionBy(col("cur"))
           .orderBy(desc("relGain"), asc("h"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val evictions = withFallback
-          .withColumn("relGain", col("gain").cast("double") / col("nw"))
+        val overloadDf = broadcast(
+          overloaded.map(b => b -> (blockW(b) - lmax)).toDF("cur", "overload"))
+        val prefix = top3
+          .groupBy(col("src"), col("cur"), col("nw"))
+          .agg(collect_list(struct(col("trk"), col("nb"), col("gain"))).as("cands"),
+            max(col("gain")).as("bestGain"))
+          .withColumn("relGain", col("bestGain").cast("double") / col("nw"))
           .withColumn("h", xxhash64(col("src"), lit(seed + round)))
           .join(overloadDf, "cur")
           .withColumn("runW", sum(col("nw")).over(wnd))
-          .filter(col("runW") - col("nw") < col("overload"))
-          .select(col("src").as("node"), col("cur"), col("cand"), col("nw"))
+          .filter(col("runW") - col("nw") < lit(2L) * col("overload") && col("runW") <= lit(CollectCapPerBlock))
 
-        // cap check per target: admit ranked prefix within residual
-        val wnd2 = Window.partitionBy(col("cand"))
-          .orderBy(asc("h2"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val admitted = Ckpt(
-          evictions
-            .withColumn("h2", xxhash64(col("node"), lit(seed + round)))
-            .join(residualDf.select(col("nb").as("cand"), col("residual")), "cand")
-            .withColumn("runW2", sum(col("nw")).over(wnd2))
-            .filter(col("runW2") <= col("residual"))
-            .select(col("node"), col("cur"), col("cand"), col("nw")),
-          "bal-admitted")
-
-        // k^2-row deltas from the checkpointed admitted table: updates the tracked
-        // block weights AND doubles as the convergence count (no separate count job)
-        val deltas = admitted.groupBy(col("cur"), col("cand")).agg(sum(col("nw")).as("mw"))
+        // driver-side exact matching (the analog of the reference's per-block PQ loop,
+        // `overload_balancer.cc:76-160`): greedy by relative gain, respecting
+        // residuals exactly — no multi-round window ping-pong between caps
+        val rows = prefix
+          .select(col("src"), col("cur"), col("nw"), col("relGain"), col("h"), col("cands"))
           .collect()
-          .map(r => (r.getAs[Number]("cur").intValue(), r.getAs[Number]("cand").intValue(), r.getAs[Long]("mw")))
-        Log.info(s"balance round $round: moveGroups=${deltas.length} over=${overloaded.size}")
-        if (deltas.isEmpty) done = true // no capacity anywhere: stop (infeasible input)
+        val residual = Array.tabulate(k)(b => math.max(0L, lmax - blockW(b)))
+        val moves = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+        val stillOver = overloaded.map(b => b -> (blockW(b) - lmax)).to(scala.collection.mutable.Map)
+        rows.sortBy(r => (-r.getAs[Double]("relGain"), r.getAs[Long]("h"))).foreach { row =>
+          val cur = row.getAs[Number]("cur").intValue()
+          if (stillOver.getOrElse(cur, 0L) > 0L) {
+            val nw = row.getAs[Long]("nw")
+            val cands = row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("cands"))
+              .sortBy(_.getAs[Int]("trk"))
+            cands.find(c => residual(c.getAs[Number]("nb").intValue()) >= nw).foreach { c =>
+              val to = c.getAs[Number]("nb").intValue()
+              residual(to) -= nw
+              stillOver(cur) -= nw
+              blockW(cur) -= nw
+              blockW(to) += nw
+              moves += ((row.getAs[Long]("src"), to))
+            }
+          }
+        }
+
+        // fallback for blocks with leftover overload and no rated movers (interior
+        // nodes with no edge into any non-overloaded block): hash-ranked members to
+        // the emptiest fitting block (`overload_balancer.cc` random-fallback role)
+        val needFallback = stillOver.filter(_._2 > 0L).keys.toSeq.sorted
+        if (needFallback.nonEmpty && residual.exists(_ > 0L)) {
+          val movedSet = moves.map(_._1).toSet
+          val fbWnd = Window.partitionBy(col("cur"))
+            .orderBy(asc("h"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val fbRows = members
+            .filter(col("cur").isin(needFallback.map(Int.box): _*))
+            .withColumn("h", xxhash64(col("src"), lit(seed + round)))
+            .join(broadcast(needFallback.map(b => b -> stillOver(b)).toDF("cur", "overload")), "cur")
+            .withColumn("runW", sum(col("nw")).over(fbWnd))
+            .filter(col("runW") - col("nw") < lit(2L) * col("overload") && col("runW") <= lit(CollectCapPerBlock))
+            .select(col("src"), col("cur"), col("nw"), col("h"))
+            .collect()
+          fbRows.sortBy(_.getAs[Long]("h")).foreach { row =>
+            val cur = row.getAs[Number]("cur").intValue()
+            val src = row.getAs[Long]("src")
+            if (stillOver.getOrElse(cur, 0L) > 0L && !movedSet.contains(src)) {
+              val nw = row.getAs[Long]("nw")
+              val to = (0 until k).filter(b => residual(b) >= nw)
+                .sortBy(b => (-residual(b), b)).headOption
+              to.foreach { t =>
+                residual(t) -= nw
+                stillOver(cur) -= nw
+                blockW(cur) -= nw
+                blockW(t) += nw
+                moves += ((src, t))
+              }
+            }
+          }
+        }
+
+        Log.info(s"balance round $round: moves=${moves.size} over=${overloaded.size} totalOverload=$totalOverload")
+        if (moves.isEmpty) done = true // no capacity anywhere: stop (infeasible input)
         else {
-          deltas.foreach { case (from, to, mw) => blockW(from) -= mw; blockW(to) += mw }
+          val movesDf = moves.toSeq.toDF("node", "cand")
           part = Ckpt(
             part
-              .join(admitted.select(col("node"), col("cand")), Seq("node"), "left")
+              .join(broadcast(movesDf), Seq("node"), "left")
               .select(
                 col("node"),
                 coalesce(col("cand"), col("block")).cast("int").as("block"),
@@ -459,4 +527,11 @@ object DistRefiner {
     }
     (part.select(col("node"), col("block")), blockW)
   }
+
+  /** Driver-collect bound for the balancer's candidate prefix: per overloaded block at
+    * most this much running weight of movers ships to the driver matcher per round
+    * (200k unit-weight nodes x 3 candidate structs ~ 20 MB). Bigger overloads simply
+    * take extra gather rounds.
+    */
+  private val CollectCapPerBlock = 200000L
 }

@@ -95,6 +95,7 @@ final class Partitioner private (
       .toDF("node", "block")
 
     // 3. uncoarsen: project up + refine per level (finest level last)
+    var lastBlockW: Option[Array[Long]] = None
     var levelNo = levels.length - 1
     while (levelNo >= 0) {
       val level = levels(levelNo)
@@ -119,17 +120,31 @@ final class Partitioner private (
         .balance(spark, fe, fineNodeW, refined, k, ctx.maxBlockWeight, seed = seed + levelNo)
       // JET pass (O20): negative-gain-tolerant bulk moves with an afterwards-filter —
       // recovers cut quality that positive-gain LP cannot reach from a projected
-      // partition; keeps the best feasible snapshot, so it never regresses
-      part = DistRefiner.jetRefine(
+      // partition; keeps the best (feasible, cut) snapshot, so it never regresses
+      val jet = DistRefiner.jetRefine(
         spark, fe, fineNodeW, balanced, k, ctx.maxBlockWeight,
         rounds = 4, seed = seed + 1000 + levelNo, runId = runId, level = levelNo
       )
+      // positive-gain LP polish over JET's winner: strictly non-worsening (gain > 0
+      // with per-target rollback), picks up the stragglers JET's bulk rounds leave
+      val polishW = new Array[Long](k)
+      val polished = DistRefiner.lpRefine(
+        spark, fe, fineNodeW, jet.part, k, ctx.maxBlockWeight,
+        maxIter = 3, seed = seed + 2000 + levelNo, runId = runId, level = levelNo,
+        lastBlockW = Some(polishW)
+      )
+      part = polished
+      lastBlockW = Some(polishW)
       fe.unpersist()
       levelNo -= 1
     }
 
-    val blockW = Metrics.blockWeights(part, nodeW, k)
-    val cut = Metrics.edgeCut(e, part)
+    // the finest level's polish tracked its block weights exactly — reuse them; the
+    // cut needs one final aggregation (exact, asserted self-consistent in tests)
+    val (blockW, cut) = lastBlockW match {
+      case Some(w) if levels.nonEmpty => (w, Metrics.edgeCut(e, part))
+      case _ => (Metrics.blockWeights(part, nodeW, k), Metrics.edgeCut(e, part))
+    }
     Partitioner.Result(part, cut, blockW, Metrics.imbalance(blockW), ctx,
       graft.util.IterMetricsCollector.drain(runId))
   }

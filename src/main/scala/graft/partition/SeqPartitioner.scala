@@ -107,7 +107,10 @@ object SeqPartitioner {
     kwayLpRefine(g, part, k, lmax, rand, rounds = 4)
     kwayFmRefine(g, part, k, lmax)
     kwayLpRefine(g, part, k, lmax, rand, rounds = 4)
-    vcycle(g, part, k, lmax, rand, cycles = 2)
+    // V-cycle count scales down with size: on large coarse handoffs (inside the deep
+    // pipeline) the distributed JET/LP levels above recover the quality, so one cycle
+    // suffices; small driver-path graphs keep the full polish
+    vcycle(g, part, k, lmax, rand, cycles = if (g.n > 5000) 1 else 2)
     Result(part, cut(g, part))
   }
 

@@ -1,0 +1,20 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+object ProbePartition {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val edges = graft.graph.Graphs.bipartite(spark, sfDir).persist()
+    edges.count()
+    val t0 = System.nanoTime()
+    val res = graft.partition.Partitioner(edges).setK(16).setEpsilon(0.03).setSeed(42L)
+      .computePartition(spark)
+    println(s"PARTITION ${(System.nanoTime()-t0)/1e9}s cut=${res.cut} imb=${res.imbalance} feasible=${res.feasible}")
+    spark.stop()
+  }
+}
