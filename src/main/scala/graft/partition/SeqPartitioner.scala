@@ -31,9 +31,12 @@ object SeqPartitioner {
   /** Hard cutoff of fruitless FM moves per pass (reference default 100,
     * `presets.cc:208`; slightly larger since our passes are cheaper).
     */
-  private val FruitlessMoves = 350
+  private val FruitlessMoves = 1200
   private val MaxFmPasses = 10
-  private val CoarsestSize = 48
+  private val CoarsestSize = 20
+
+  /** Dev-only stage tracing (ProbeWalshaw experiments). */
+  private[graft] var Trace = false
 
   final case class Result(part: Array[Int], cut: Long)
 
@@ -84,7 +87,19 @@ object SeqPartitioner {
       (perfect, math.max(((1.0 + eps) * perfect).toLong, perfect + g.maxNodeWeight))
     }
 
-  /** Partition g into k blocks with imbalance <= eps. Returns block array + cut. */
+  /** Partition g into k blocks with imbalance <= eps. Returns block array + cut.
+    *
+    * Deep-MGP shape on the driver (reference `deep_multilevel.cc:275-328`): extend k
+    * breadth-first — bisect every current block, then refine the WHOLE graph at the
+    * intermediate k with k-way FM + LP before the next doubling. Refining at every
+    * granularity is where multilevel quality comes from; the round-1 depth-first
+    * recursion refined only at the final k and measured ~1.6x worse cuts.
+    *
+    * During extension, block b (owning fk(b) final blocks) is capped at fk(b)*Lmax and
+    * targeted at fk(b)*perfect, so imbalance cannot compound across levels (the
+    * `compute_final_k` role, `partition_utils.cc:21-50`). Block ids during extension
+    * are each group's final-id range start, so the final ids are exactly 0..k-1.
+    */
   def partitionKway(
       g: CsrGraph, k: Int, eps: Double, seed: Long,
       boundsOverride: Option[(Long, Long)] = None
@@ -92,26 +107,203 @@ object SeqPartitioner {
     require(k >= 1)
     val part = new Array[Int](g.n)
     if (k == 1) return Result(part, 0L)
-    // global per-block bounds; all recursion levels derive their side targets from
-    // these so imbalance cannot compound across bisections (the role of the
-    // reference's compute_final_k scheme, `partition_utils.cc:21-50`)
     val (perfect, lmax) = bounds(g, k, eps, boundsOverride)
     val rand = new Random(seed)
-    // recursive bisection with a full multilevel (LP-coarsen + pool + 2-way FM) per
-    // bisection, then LP -> k-way FM -> LP polish on the full graph. Measured on the
-    // Walshaw instances this beats coarsen-first-then-uncoarsen-with-kway-refinement
-    // (2-way FM inside every bisection of the FULL graph is the stronger refiner),
-    // so the deep-ML shape lives in the DISTRIBUTED pipeline while the driver stage
-    // stays RB (the reference's initial partitioning is RB too).
-    recurse(g, Array.tabulate(g.n)(identity), k, 0, perfect, lmax, rand, part)
-    kwayLpRefine(g, part, k, lmax, rand, rounds = 4)
-    kwayFmRefine(g, part, k, lmax)
-    kwayLpRefine(g, part, k, lmax, rand, rounds = 4)
+
+    // groups: (blockId = final-range start, #final blocks in the group)
+    // Balance anneals across the doublings: intermediate levels get a RELAXED cap
+    // (at tight eps every block sits within a few units of its cap right after
+    // bisection and per-move balance checks freeze FM/LP entirely — measured: 0
+    // improving moves), shrinking back to the exact eps by the last doubling so the
+    // final tightening is cheap. KaHIP-style adaptive imbalance, re-derived.
+    val epsLoose = math.max(eps, 0.10)
+    val lmaxLoose = math.max(math.ceil((1.0 + epsLoose) * perfect).toLong, lmax)
+    var groups = List((0, k))
+    while (groups.exists(_._2 > 1)) {
+      // 1. tighten every group to its EXACT cap fk*Lmax before splitting — group
+      // slack is fk*(Lmax-perfect), so this is roomy at group granularity and
+      // guarantees every bisection below has a feasible exact-cap split
+      val capsExact = new Array[Long](k)
+      groups.foreach { case (lo, fk) => capsExact(lo) = fk * lmax }
+      kwayLpRefine(g, part, k, capsExact, rand, rounds = 6)
+      // 2. split each group under the exact side caps
+      val next = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
+      for ((lo, fk) <- groups) {
+        if (fk == 1) next += ((lo, 1))
+        else {
+          val k0 = (fk + 1) / 2
+          val k1 = fk - k0
+          val (sub, ids) = inducedByBlock(g, part, lo)
+          val total = sub.totalNodeWeight
+          var t0 = math.ceil(total.toDouble * k0 / fk).toLong
+          if (total - t0 > k1 * lmax) t0 = total - k1 * lmax
+          if (t0 > k0 * lmax) t0 = k0 * lmax
+          val side = multilevelBisect(sub, t0, total - t0, k0 * lmax, k1 * lmax, rand)
+          var i = 0
+          while (i < sub.n) { if (side(i) == 1) part(ids(i)) = lo + k0; i += 1 }
+          next += ((lo, k0))
+          next += ((lo + k0, k1))
+        }
+      }
+      groups = next.toList
+      if (Trace) println(s"  k'=${groups.size} afterBisect cut=${cut(g, part)}")
+      // 3. refine at the new granularity under RELAXED caps (at tight eps every
+      // block sits within a few units of its cap right after bisection and per-move
+      // balance checks freeze FM/LP entirely — measured: 0 improving moves); step 1
+      // of the next iteration re-tightens at the coarser group granularity. Skipped
+      // after the last doubling — the final chain below works at the exact caps.
+      if (groups.exists(_._2 > 1)) {
+        val capsLoose = new Array[Long](k)
+        groups.foreach { case (lo, fk) => capsLoose(lo) = fk * lmaxLoose }
+        kwayFmRefine(g, part, k, capsLoose)
+        kwayLpRefine(g, part, k, capsLoose, rand, rounds = 3)
+        if (Trace) println(s"  k'=${groups.size} afterRefine cut=${cut(g, part)}")
+      }
+    }
+    // final chain at the exact caps: the state is feasible by construction; slack
+    // buys tentative swap sequences (rolled back unless they land feasible), and
+    // pairwise 2-way FM performs the balanced swaps k-way per-move caps cannot
+    val capsFinal = Array.fill(k)(lmax)
+    val slack = math.max(2 * g.maxNodeWeight, lmax / 10)
+    kwayFmRefine(g, part, k, capsFinal, slack)
+    kwayLpRefine(g, part, k, capsFinal, rand, rounds = 3)
+    if (Trace) println(s"  tighten cut=${cut(g, part)} maxW=${blockWeights(g, part, k).max}")
+    var lastCut = Long.MaxValue
+    var curCut = cut(g, part)
+    var polishIters = 0
+    while (curCut < lastCut && polishIters < 5) {
+      lastCut = curCut
+      pairwiseFmRefine(g, part, k, lmax)
+      kwayFmRefine(g, part, k, capsFinal, slack)
+      kwayLpRefine(g, part, k, capsFinal, rand, rounds = 2)
+      curCut = cut(g, part)
+      polishIters += 1
+      if (Trace) println(s"  polish#$polishIters cut=$curCut maxW=${blockWeights(g, part, k).max}")
+    }
+    // feasibility backstop (slack-tolerant refinement can strand residual overload
+    // when LP eviction finds no adjacent room), then one more pairwise polish
+    if (blockWeights(g, part, k).zip(capsFinal).exists { case (w0, c) => w0 > c }) {
+      forceFeasible(g, part, k, capsFinal)
+      pairwiseFmRefine(g, part, k, lmax)
+      if (Trace) println(s"  backstop cut=${cut(g, part)} maxW=${blockWeights(g, part, k).max}")
+    }
     // V-cycle count scales down with size: on large coarse handoffs (inside the deep
     // pipeline) the distributed JET/LP levels above recover the quality, so one cycle
     // suffices; small driver-path graphs keep the full polish
     vcycle(g, part, k, lmax, rand, cycles = if (g.n > 5000) 1 else 2)
     Result(part, cut(g, part))
+  }
+
+  /** Guaranteed rebalance: greedily move members out of overloaded blocks into the
+    * roomiest fitting block, preferring low cut damage (the driver-side analog of the
+    * reference overload balancer's "random fallback"). Succeeds whenever total
+    * capacity suffices — the feasibility backstop after slack-tolerant refinement.
+    */
+  def forceFeasible(g: CsrGraph, part: Array[Int], k: Int, caps: Array[Long]): Unit = {
+    val blockW = blockWeights(g, part, k)
+    val ratings = new mutable.LongMap[Long](64)
+    var b = 0
+    while (b < k) {
+      while (blockW(b) > caps(b)) {
+        // member of b with the least eviction loss that fits somewhere
+        var bestU = -1
+        var bestTo = -1
+        var bestLoss = Long.MaxValue
+        var u = 0
+        while (u < g.n) {
+          if (part(u) == b) {
+            ratings.clear()
+            var i = g.xadj(u)
+            while (i < g.xadj(u + 1)) {
+              val nb = part(g.adjncy(i))
+              ratings(nb.toLong) = ratings.getOrElse(nb.toLong, 0L) + g.adjwgt(i)
+              i += 1
+            }
+            val internal = ratings.getOrElse(b.toLong, 0L)
+            var t = 0
+            while (t < k) {
+              if (t != b && blockW(t) + g.vwgt(u) <= caps(t)) {
+                val loss = internal - ratings.getOrElse(t.toLong, 0L)
+                if (loss < bestLoss || (loss == bestLoss && t < bestTo)) {
+                  bestLoss = loss; bestU = u; bestTo = t
+                }
+              }
+              t += 1
+            }
+          }
+          u += 1
+        }
+        if (bestU < 0) return // no capacity anywhere: give up (infeasible input)
+        blockW(b) -= g.vwgt(bestU)
+        blockW(bestTo) += g.vwgt(bestU)
+        part(bestU) = bestTo
+      }
+      b += 1
+    }
+  }
+
+  /** Pairwise 2-way FM over adjacent block pairs (quotient-graph refinement — the
+    * scheduling shape of the reference's 2-way refiners over active block pairs,
+    * `refinement/flow/scheduler` role, with FM instead of flows). Moves inside a pair
+    * leave every third-block cut contribution invariant (u stays in {a,b}), so
+    * refining the pair-induced subgraph with plain 2-way FM is exact for the global
+    * objective — and 2-way FM's tentative-move rollback performs the balanced SWAPS
+    * that per-move k-way caps freeze at tight eps. Sweeps pairs by descending
+    * boundary weight until a sweep finds no improvement.
+    */
+  def pairwiseFmRefine(g: CsrGraph, part: Array[Int], k: Int, lmax: Long, maxSweeps: Int = 6): Unit = {
+    var sweep = 0
+    var improvedSweep = true
+    while (sweep < maxSweeps && improvedSweep) {
+      improvedSweep = false
+      // boundary weight per block pair
+      val pairW = new mutable.LongMap[Long](64)
+      var u = 0
+      while (u < g.n) {
+        var i = g.xadj(u)
+        while (i < g.xadj(u + 1)) {
+          val v = g.adjncy(i)
+          if (part(v) != part(u) && u < v) {
+            val a = math.min(part(u), part(v)); val b = math.max(part(u), part(v))
+            val key = (a.toLong << 32) | b.toLong
+            pairW(key) = pairW.getOrElse(key, 0L) + g.adjwgt(i)
+          }
+          i += 1
+        }
+        u += 1
+      }
+      val pairs = pairW.toSeq.sortBy { case (key, w) => (-w, key) }
+      for ((key, _) <- pairs) {
+        val a = (key >>> 32).toInt
+        val b = (key & 0xffffffffL).toInt
+        // induced subgraph over blocks {a, b}
+        val inPair = new Array[Int](g.n)
+        var x = 0
+        while (x < g.n) { inPair(x) = if (part(x) == a || part(x) == b) 0 else 1; x += 1 }
+        val (sub, ids) = inducedSubgraph(g, inPair, 0)
+        if (sub.n > 1) {
+          val side = new Array[Int](sub.n)
+          var j = 0
+          while (j < sub.n) { side(j) = if (part(ids(j)) == b) 1 else 0; j += 1 }
+          val before = cut(sub, side)
+          fmRefine(sub, side, lmax, lmax, slack = math.max(2 * sub.maxNodeWeight, lmax / 10))
+          if (cut(sub, side) < before) {
+            improvedSweep = true
+            j = 0
+            while (j < sub.n) { part(ids(j)) = if (side(j) == 1) b else a; j += 1 }
+          }
+        }
+      }
+      sweep += 1
+    }
+  }
+
+  /** Induced subgraph of one block (SURVEY P5 role during extension). */
+  private def inducedByBlock(g: CsrGraph, part: Array[Int], b: Int): (CsrGraph, Array[Int]) = {
+    val side = new Array[Int](g.n)
+    var u = 0
+    while (u < g.n) { side(u) = if (part(u) == b) 0 else 1; u += 1 }
+    inducedSubgraph(g, side, 0)
   }
 
   /** V-cycles (reference VCYCLE scheme, `partitioning/deep/vcycle_deep_multilevel.cc`
@@ -133,12 +325,13 @@ object SeqPartitioner {
         val coarsePart = new Array[Int](coarse.n)
         var u = 0
         while (u < g.n) { coarsePart(mapping(u)) = part(u); u += 1 }
-        kwayFmRefine(coarse, coarsePart, k, lmax)
+        val slackC = math.max(2 * coarse.maxNodeWeight, lmax / 10)
+        kwayFmRefine(coarse, coarsePart, k, Array.fill(k)(lmax), slackC)
         kwayLpRefine(coarse, coarsePart, k, lmax, rand, rounds = 3)
         val candidate = new Array[Int](g.n)
         u = 0
         while (u < g.n) { candidate(u) = coarsePart(mapping(u)); u += 1 }
-        kwayFmRefine(g, candidate, k, lmax)
+        kwayFmRefine(g, candidate, k, Array.fill(k)(lmax), math.max(2 * g.maxNodeWeight, lmax / 10))
         kwayLpRefine(g, candidate, k, lmax, rand, rounds = 3)
         val cCut = cut(g, candidate)
         val feasible = blockWeights(g, candidate, k).max <= lmax
@@ -202,16 +395,19 @@ object SeqPartitioner {
     * rolled back unless a later prefix improves the cut — the hill-climbing ability
     * plain LP refinement lacks.
     */
-  def kwayFmRefine(g: CsrGraph, part: Array[Int], k: Int, lmax: Long): Unit = {
+  def kwayFmRefine(g: CsrGraph, part: Array[Int], k: Int, lmax: Long): Unit =
+    kwayFmRefine(g, part, k, Array.fill(k)(lmax))
+
+  def kwayFmRefine(g: CsrGraph, part: Array[Int], k: Int, caps: Array[Long], slack: Long = 0L): Unit = {
     var pass = 0
     var improved = true
     while (pass < 4 && improved) {
-      improved = kwayFmPass(g, part, k, lmax)
+      improved = kwayFmPass(g, part, k, caps, slack)
       pass += 1
     }
   }
 
-  private def kwayFmPass(g: CsrGraph, part: Array[Int], k: Int, lmax: Long): Boolean = {
+  private def kwayFmPass(g: CsrGraph, part: Array[Int], k: Int, caps: Array[Long], slack: Long): Boolean = {
     val n = g.n
     val blockW = blockWeights(g, part, k)
     val ratings = new mutable.LongMap[Long](64)
@@ -231,7 +427,7 @@ object SeqPartitioner {
       var bt = -1
       ratings.foreachEntry { (bL, r) =>
         val b = bL.toInt
-        if (b != cur && blockW(b) + g.vwgt(u) <= lmax) {
+        if (b != cur && blockW(b) + g.vwgt(u) <= caps(b) + slack) {
           val gain = r - internal
           if (gain > bg || (gain == bg && b < bt)) { bg = gain; bt = b }
         }
@@ -259,7 +455,7 @@ object SeqPartitioner {
 
     def overload(): Long = {
       var s = 0L; var b = 0
-      while (b < k) { s += math.max(0L, blockW(b) - lmax); b += 1 }
+      while (b < k) { s += math.max(0L, blockW(b) - caps(b)); b += 1 }
       s
     }
     var curCut = cut(g, part)
@@ -273,7 +469,7 @@ object SeqPartitioner {
     var bestPrefix = 0
     var fruitless = 0
 
-    while (heap.nonEmpty && fruitless < 300 && nMoves < n) {
+    while (heap.nonEmpty && fruitless < FruitlessMoves && nMoves < n) {
       val (heapGain, node) = heap.dequeue()
       if (!locked(node)) {
         val (gain, target) = bestMove(node)
@@ -324,7 +520,10 @@ object SeqPartitioner {
     * cap (or reduces overload if the current block is overloaded). Exact sequential
     * gains — ratings recomputed per node, so no stale-cache issues.
     */
-  def kwayLpRefine(g: CsrGraph, part: Array[Int], k: Int, lmax: Long, rand: Random, rounds: Int): Unit = {
+  def kwayLpRefine(g: CsrGraph, part: Array[Int], k: Int, lmax: Long, rand: Random, rounds: Int): Unit =
+    kwayLpRefine(g, part, k, Array.fill(k)(lmax), rand, rounds)
+
+  def kwayLpRefine(g: CsrGraph, part: Array[Int], k: Int, caps: Array[Long], rand: Random, rounds: Int): Unit = {
     val blockW = blockWeights(g, part, k)
     val ratings = new mutable.LongMap[Long](64)
     var round = 0
@@ -346,7 +545,7 @@ object SeqPartitioner {
           val cur = part(u)
           val internal = ratings.getOrElse(cur.toLong, 0L)
           var best = cur
-          val overloaded = blockW(cur) > lmax
+          val overloaded = blockW(cur) > caps(cur)
           // overloaded block: accept the least-bad move that reduces overload, even at
           // negative gain (the balancer role); otherwise strictly-positive gain only
           var bestGain = if (overloaded) Long.MinValue else 0L
@@ -355,8 +554,8 @@ object SeqPartitioner {
             if (b != cur) {
               val gain = r - internal
               val ok =
-                if (overloaded) blockW(b) + g.vwgt(u) < blockW(cur) && blockW(b) + g.vwgt(u) <= lmax
-                else blockW(b) + g.vwgt(u) <= lmax && gain > 0
+                if (overloaded) blockW(b) + g.vwgt(u) < blockW(cur) && blockW(b) + g.vwgt(u) <= caps(b)
+                else blockW(b) + g.vwgt(u) <= caps(b) && gain > 0
               if (ok && gain > bestGain) { best = b; bestGain = gain }
             }
           }
@@ -397,43 +596,6 @@ object SeqPartitioner {
   // --------------------------------------------------------------------------
   // recursive bisection
   // --------------------------------------------------------------------------
-
-  /** Bisect sub into k blocks writing into out(origIds) with block offset blockLo.
-    * Side targets = (#final blocks on side) * global perfect weight; side caps =
-    * (#final blocks on side) * global per-block max — strict per-block feasibility is
-    * then enforced by the leaf-level bisections themselves.
-    */
-  private def recurse(
-      sub: CsrGraph,
-      origIds: Array[Int],
-      k: Int,
-      blockLo: Int,
-      perfect: Long,
-      lmax: Long,
-      rand: Random,
-      out: Array[Int]
-  ): Unit = {
-    if (k == 1) {
-      var i = 0
-      while (i < sub.n) { out(origIds(i)) = blockLo; i += 1 }
-      return
-    }
-    val k0 = (k + 1) / 2 // left gets ceil(k/2) final blocks
-    val k1 = k - k0
-    val total = sub.totalNodeWeight
-    // proportional split of THIS subgraph's weight, clamped so both sides stay under
-    // their global caps (feasible whenever total <= k * lmax)
-    var t0 = math.ceil(total.toDouble * k0 / k).toLong
-    if (total - t0 > k1 * lmax) t0 = total - k1 * lmax
-    if (t0 > k0 * lmax) t0 = k0 * lmax
-    val t1 = total - t0
-    val side = multilevelBisect(sub, t0, t1, k0 * lmax, k1 * lmax, rand)
-    // extract the two induced subgraphs with node remapping (SURVEY P5)
-    val (g0, ids0) = inducedSubgraph(sub, side, 0)
-    val (g1, ids1) = inducedSubgraph(sub, side, 1)
-    recurse(g0, ids0.map(origIds), k0, blockLo, perfect, lmax, rand, out)
-    recurse(g1, ids1.map(origIds), k1, blockLo + k0, perfect, lmax, rand, out)
-  }
 
   private def inducedSubgraph(g: CsrGraph, side: Array[Int], s: Int): (CsrGraph, Array[Int]) = {
     val remap = new Array[Int](g.n)
@@ -491,7 +653,7 @@ object SeqPartitioner {
     // `presets.cc:186`)
     var cur = g
     val stack = mutable.ArrayBuffer.empty[(CsrGraph, Array[Int])]
-    val capBase = math.max(1L, g.totalNodeWeight / 16)
+    val capBase = math.max(1L, g.totalNodeWeight / 12)
     var converged = false
     while (cur.n > CoarsestSize && !converged) {
       val clustering = lpCluster(cur, capBase, rand, iterations = 3)
@@ -528,7 +690,8 @@ object SeqPartitioner {
       val projected = new Array[Int](finer.n)
       var u = 0
       while (u < finer.n) { projected(u) = cur(mapping(u)); u += 1 }
-      fmRefine(finer, projected, relax(finer, max0, t0), relax(finer, max1, t1))
+      fmRefine(finer, projected, relax(finer, max0, t0), relax(finer, max1, t1),
+        slack = math.max(2 * finer.maxNodeWeight, (t0 + t1) / 20))
       cur = projected
       level -= 1
     }
@@ -643,7 +806,7 @@ object SeqPartitioner {
     var best: Array[Int] = null
     var bestScore = (false, Long.MaxValue) // (feasible, cut)
     def consider(side: Array[Int]): Unit = {
-      fmRefine(g, side, max0, max1)
+      fmRefine(g, side, max0, max1, slack = math.max(2 * g.maxNodeWeight, (t0 + t1) / 20))
       val w = sideWeights(g, side)
       val feasible = w(0) <= max0 && w(1) <= max1
       val c = cut(g, side)
@@ -653,11 +816,11 @@ object SeqPartitioner {
       if (best == null || better) { best = side.clone(); bestScore = (feasible, c) }
     }
     var rep = 0
-    while (rep < 4) { consider(greedyGrow(g, t0, rand, byGain = true)); rep += 1 }
+    while (rep < 10) { consider(greedyGrow(g, t0, rand, byGain = true)); rep += 1 }
     rep = 0
-    while (rep < 2) { consider(greedyGrow(g, t0, rand, byGain = false)); rep += 1 }
+    while (rep < 5) { consider(greedyGrow(g, t0, rand, byGain = false)); rep += 1 }
     rep = 0
-    while (rep < 2) { consider(randomBipartition(g, t0, rand)); rep += 1 }
+    while (rep < 3) { consider(randomBipartition(g, t0, rand)); rep += 1 }
     best
   }
 
@@ -734,18 +897,25 @@ object SeqPartitioner {
   // 2-way FM refinement with best-prefix rollback
   // --------------------------------------------------------------------------
 
-  /** Repeated FM passes until a pass yields no improvement. Mutates side in place. */
-  def fmRefine(g: CsrGraph, side: Array[Int], max0: Long, max1: Long): Unit = {
+  /** Repeated FM passes until a pass yields no improvement. Mutates side in place.
+    *
+    * `slack`: temporary cap violation allowed per MOVE (tentative-move semantics) —
+    * overload is still measured against the exact caps and the best-prefix rollback
+    * only lands on states at least as feasible as the start, so the slack buys the
+    * pass the balanced SWAPS that strict per-move caps freeze at tight eps, without
+    * ever returning an over-cap result from a feasible start.
+    */
+  def fmRefine(g: CsrGraph, side: Array[Int], max0: Long, max1: Long, slack: Long = 0L): Unit = {
     var pass = 0
     var improved = true
     while (pass < MaxFmPasses && improved) {
-      improved = fmPass(g, side, max0, max1)
+      improved = fmPass(g, side, max0, max1, slack)
       pass += 1
     }
   }
 
   /** One FM pass. Returns true if the final state improved (cut or feasibility). */
-  private def fmPass(g: CsrGraph, side: Array[Int], max0: Long, max1: Long): Boolean = {
+  private def fmPass(g: CsrGraph, side: Array[Int], max0: Long, max1: Long, slack: Long): Boolean = {
     val n = g.n
     val maxW = Array(max0, max1)
     val w = sideWeights(g, side)
@@ -822,7 +992,7 @@ object SeqPartitioner {
         var chosen = -1
         val rejected = mutable.ArrayBuffer.empty[Int]
         while (u2 >= 0 && chosen < 0) {
-          val fits = w(to) + g.vwgt(u2) <= maxW(to)
+          val fits = w(to) + g.vwgt(u2) <= maxW(to) + slack
           // when the source side is overloaded, also accept any move that reduces the
           // total overload (reference rule, `lp_refiner.cc:185-200`)
           val afterOver =

@@ -18,12 +18,18 @@ class WalshawQualitySpec extends SparkFunSuite {
     assert(csr.m === 2 * 15093)
   }
 
-  test("driver path: cut <= 2000, imbalance <= eps, cut self-consistent (k=16, eps=0.03)") {
+  test("driver path: cut <= 1250, imbalance <= eps, cut self-consistent (k=16, eps=0.03)") {
     val edges = MetisIO.readEdges(spark, csr)
     // threshold pinned above n: this test exercises the pure driver path (the default
     // is scale-aware and would coarsen first — covered by the distributed-path test)
     val res = Partitioner(edges).setK(16).setEpsilon(0.03).setSeed(0L)
       .setDriverThreshold(100000L).computePartition(spark)
+    // round-2 quality bar: measured 1178-1219 over 8 seeds (round 1: 1223-1325).
+    // Context for the absolute level: the reference's own e2e test accepts <= 2000
+    // on this instance (`dist_endtoend_test.cc:138`), and our k=2/4/8 cuts
+    // (198/411/709) sit ~5% above the long-standing Walshaw-archive bests
+    // (189/382/668) — k=16 ~1180 is the same distance from that frontier.
+    assert(res.cut <= 1250L, s"cut ${res.cut} exceeds the round-2 quality bar")
     assert(res.cut <= 2000L, s"cut ${res.cut} exceeds the reference bound")
     assert(res.feasible, s"imbalance ${res.imbalance} infeasible (blockW=${res.blockWeights.mkString(",")})")
     assert(res.imbalance <= 0.03 + 1e-9)
@@ -55,6 +61,8 @@ class WalshawQualitySpec extends SparkFunSuite {
     val edges = MetisIO.readEdges(spark, csr)
     val res = Partitioner(edges).setK(16).setEpsilon(0.03).setSeed(0L)
       .setDriverThreshold(300L).computePartition(spark)
+    // round-2 bar (measured ~1219; round 1: 1335-1403); 2000 = the reference's bound
+    assert(res.cut <= 1350L, s"dist cut ${res.cut} exceeds the round-2 quality bar")
     assert(res.cut <= 2000L, s"dist cut ${res.cut}")
     assert(res.feasible, s"dist imbalance ${res.imbalance}")
     // per-iteration metrics (M6): refinement + JET supersteps recorded per level
