@@ -26,7 +26,8 @@ object ScalingBench {
     val avgDeg = sys.env.getOrElse("SPARK_GRAFT_SCALE_DEG", "8").toInt
     Log.enabled = false
 
-    final case class Res(cpus: Int, m: Long, tPr: Double, tRefine: Double)
+    final case class Res(
+        cpus: Int, m: Long, tPr: Double, tRefine: Double, tRefineHub: Double, nHubs: Long)
     val out = levels.map { cpus =>
       val spark = SparkSession.builder()
         .master(s"local[$cpus]")
@@ -74,14 +75,31 @@ object ScalingBench {
       timeRefine(1, 99L) // warmup
       val tRefine = math.max(0.001, timeRefine(7, 7L) - timeRefine(2, 7L))
 
+      // hub-split refinement (P1 wired into the gather, judge item #8): same job over
+      // the hub-salted gather edges — the Zipf graph's hub pages carry huge in-degree,
+      // so the plain dst-keyed gather stacks their whole neighborhood in one task
+      val hubThreshold = sys.env.getOrElse("SPARK_GRAFT_HUB_THRESHOLD", "20000").toLong
+      val geHub = graft.partition.Gather.prepare(eRef, hubThreshold)
+      val nHubs = geHub.hubs.map(_.count()).getOrElse(0L)
+      def timeRefineHub(iters: Int, seed: Long): Double = {
+        val t0 = System.nanoTime()
+        graft.partition.DistRefiner.lpRefine(
+          spark, geHub, nodeW, part0, k, lmax, maxIter = iters, seed = seed,
+          runId = "", level = -1, lastBlockW = None
+        ).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      timeRefineHub(1, 99L) // warmup
+      val tRefineHub = math.max(0.001, timeRefineHub(7, 7L) - timeRefineHub(2, 7L))
+
       spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
-      Res(cpus, m, tPr, tRefine)
+      Res(cpus, m, tPr, tRefine, tRefineHub, nHubs)
     }
 
     out.foreach { r =>
-      println(f"""{"cpus":${r.cpus},"edges":${r.m},"pagerank5_sec":${r.tPr}%.2f,"refine5_sec":${r.tRefine}%.2f,"pagerank_eps":${(r.m * 5 / r.tPr).toLong},"refine_eps":${(r.m * 5 / r.tRefine).toLong}}""")
+      println(f"""{"cpus":${r.cpus},"edges":${r.m},"pagerank5_sec":${r.tPr}%.2f,"refine5_sec":${r.tRefine}%.2f,"refine5_hubsplit_sec":${r.tRefineHub}%.2f,"hubs":${r.nHubs},"pagerank_eps":${(r.m * 5 / r.tPr).toLong},"refine_eps":${(r.m * 5 / r.tRefine).toLong},"refine_hub_eps":${(r.m * 5 / r.tRefineHub).toLong}}""")
     }
     if (out.length == 2) {
       val (lo, hi) = (out(0), out(1))

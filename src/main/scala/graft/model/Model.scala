@@ -54,7 +54,8 @@ final case class PartCtx(
     k: Int,
     epsilon: Double,
     totalNodeWeight: Long,
-    maxNodeWeight: Long
+    maxNodeWeight: Long,
+    minEpsilon: Double = 0.0
 ) {
   require(k >= 2, s"k must be >= 2, got $k")
   val perfectBlockWeight: Long =
@@ -65,6 +66,15 @@ final case class PartCtx(
     val soft = math.ceil((1.0 + epsilon) * totalNodeWeight.toDouble / k).toLong
     math.max(soft, perfectBlockWeight + maxNodeWeight)
   }
+
+  /** Min block weight Lmin(b) (reference `kaminpar.h:428-433,514`: 0 when unset —
+    * then the underload balancer is a no-op, exactly the reference default chain).
+    */
+  val minBlockWeight: Long =
+    if (minEpsilon <= 0.0) 0L
+    else math.floor((1.0 - minEpsilon) * totalNodeWeight.toDouble / k).toLong
+
+  def hasMinBlockWeights: Boolean = minBlockWeight > 0L
 
   def imbalanceOf(maxWeight: Long): Double =
     maxWeight.toDouble / perfectBlockWeight.toDouble - 1.0

@@ -39,10 +39,18 @@ object DistCoarsener {
       nodeW: DataFrame,
       cap: Long,
       maxIter: Int = 5,
-      seed: Long = 42L
+      seed: Long = 42L,
+      hubDegThreshold: Long = 0L
   ): DataFrame = {
-    // edge table hash-partitioned by the gather key ONCE and pinned (co-partitioning)
-    val e = edges.select(col("src"), col("dst"), col("w")).repartition(col("dst")).persist()
+    // edge table hash-partitioned by the gather key ONCE and pinned (co-partitioning);
+    // hub splitting (Gather.prepare) when a threshold is configured
+    val ge =
+      if (hubDegThreshold > 0L)
+        Gather.prepare(edges.select(col("src"), col("dst"), col("w")), hubDegThreshold)
+      else
+        Gather.plain(
+          edges.select(col("src"), col("dst"), col("w")).repartition(col("dst")).persist())
+    val e = ge.e
     var labels = Ckpt(nodeW.select(col("node"), col("node").as("label"), col("weight")), "lpc-labels")
 
     var it = 0
@@ -62,8 +70,8 @@ object DistCoarsener {
       // gather: per (active node, neighbor label) summed edge weight. Agg-then-join
       // shape: the m-row stream shuffles once into the (src, nl) aggregation; the
       // n-row active state joins the (already small) aggregate after.
-      val ratings = e
-        .join(labels.select(col("node").as("dst"), col("label").as("nl")), "dst")
+      val ratings = Gather
+        .joinLabels(ge, labels.select(col("node"), col("label").as("nl")))
         .groupBy(col("src"), col("nl"))
         .agg(sum(col("w")).as("rating"))
         .join(
@@ -224,7 +232,9 @@ object DistCoarsener {
       eps: Double,
       targetN: Long,
       seed: Long,
-      targetM: Long = Long.MaxValue
+      targetM: Long = Long.MaxValue,
+      resume: Option[graft.util.RunCheckpoint] = None,
+      hubDegThreshold: Long = 0L
   ): (Seq[DistCoarsener.Level], DataFrame, DataFrame) = {
     // callers pass already-checkpointed inputs (Partitioner does); re-checkpointing
     // here would add two redundant full-table write jobs per run
@@ -240,29 +250,51 @@ object DistCoarsener {
     // edges too, and contraction densifies graphs, so a node target alone can hand
     // the driver 10^8-edge coarse graphs (round-2 judge fix #5)
     while ((n > targetN || m > targetM) && !converged) {
-      // max cluster weight: eps * W / clamp(n/C, 2, k)
-      // (reference EPSILON_BLOCK_WEIGHT, `coarsening/max_cluster_weights.h:17-46`)
-      val divisor = math.min(math.max(n / C, 2L), k.toLong)
-      val cap = math.max(1L, (eps * totalW / divisor).toLong)
-      var clustering = lpCluster(spark, edges, nodeW, cap, maxIter = 5, seed = seed + levels.length)
-      // two-hop rescue (O3): if LP shrank < 50%, merge singleton clusters that share
-      // a favored cluster (reference gate, `lp_clusterer.cc:164-166`)
-      val nClusters = clustering.select(col("label")).distinct().count()
-      if (nClusters >= n / 2) {
-        clustering = Ckpt(
-          twoHopMerge(spark, edges, clustering, nodeW, cap, seed + levels.length),
-          "twohop")
-        Log.info(s"two-hop merge: $nClusters -> ${clustering.select(col("label")).distinct().count()} clusters")
+      val stage = s"coarsen${levels.length}"
+      val (cEdges, cNodeW, mapping) = resume.filter(_.hasNamed(s"$stage-mapping")) match {
+        // resumable run: a committed level reloads from the run directory — the loop
+        // conditions recompute deterministically from the loaded tables
+        case Some(r) =>
+          Log.info(s"coarsen: resuming $stage from checkpoint")
+          (r.loadNamed(spark, s"$stage-cedges"),
+            r.loadNamed(spark, s"$stage-cnodew"),
+            r.loadNamed(spark, s"$stage-mapping"))
+        case None =>
+          // max cluster weight: eps * W / clamp(n/C, 2, k)
+          // (reference EPSILON_BLOCK_WEIGHT, `coarsening/max_cluster_weights.h:17-46`)
+          val divisor = math.min(math.max(n / C, 2L), k.toLong)
+          val cap = math.max(1L, (eps * totalW / divisor).toLong)
+          var clustering = lpCluster(spark, edges, nodeW, cap, maxIter = 5,
+            seed = seed + levels.length, hubDegThreshold = hubDegThreshold)
+          // two-hop rescue (O3): if LP shrank < 50%, merge singleton clusters that
+          // share a favored cluster (reference gate, `lp_clusterer.cc:164-166`)
+          val nClusters = clustering.select(col("label")).distinct().count()
+          if (nClusters >= n / 2) {
+            clustering = Ckpt(
+              twoHopMerge(spark, edges, clustering, nodeW, cap, seed + levels.length),
+              "twohop")
+            Log.info(s"two-hop merge: $nClusters -> ${clustering.select(col("label")).distinct().count()} clusters")
+          }
+          val level = contract(edges, nodeW, clustering)
+          resume match {
+            case Some(r) =>
+              val ce = r.saveNamed(s"$stage-cedges", level.coarseEdges)
+              val cw = r.saveNamed(s"$stage-cnodew", level.coarseNodeW)
+              val mp = r.saveNamed(s"$stage-mapping", level.mapping)
+              r.appendMetrics(levels.length, Map("stage" -> stage))
+              Partitioner.failpoint(stage)
+              (ce, cw, mp)
+            case None =>
+              (Ckpt(level.coarseEdges, "cedges"), Ckpt(level.coarseNodeW, "cnodew"),
+                Ckpt(level.mapping, "mapping"))
+          }
       }
-      val level = contract(edges, nodeW, clustering)
-      val cEdges = Ckpt(level.coarseEdges, "cedges")
-      val cNodeW = Ckpt(level.coarseNodeW, "cnodew")
       val cn = cNodeW.count()
       val cm = if (targetM == Long.MaxValue) 0L else cEdges.count()
-      Log.info(s"coarsen level ${levels.length}: n=$n -> $cn, m=$m -> $cm (cap=$cap)")
+      Log.info(s"coarsen level ${levels.length}: n=$n -> $cn, m=$m -> $cm")
       if (cn >= n * 0.95) converged = true // <5% shrink (reference `presets.cc:186`)
       if (cn < n) {
-        levels += Level(Ckpt(level.mapping, "mapping"), cEdges, cNodeW)
+        levels += Level(mapping, cEdges, cNodeW)
         edges = cEdges
         nodeW = cNodeW
         n = cn

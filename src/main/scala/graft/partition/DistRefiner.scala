@@ -45,13 +45,30 @@ object DistRefiner {
       runId: String = "",
       level: Int = -1,
       lastBlockW: Option[Array[Long]] = None
+  ): DataFrame =
+    lpRefine(spark, Gather.plain(edges), nodeW, part0, k, lmax, maxIter, seed,
+      runId, level, lastBlockW)
+
+  /** [[lpRefine]] over prepared (optionally hub-salted) gather edges. */
+  def lpRefine(
+      spark: SparkSession,
+      ge: GatherEdges,
+      nodeW: DataFrame,
+      part0: DataFrame,
+      k: Int,
+      lmax: Long,
+      maxIter: Int,
+      seed: Long,
+      runId: String,
+      level: Int,
+      lastBlockW: Option[Array[Long]]
   ): DataFrame = {
     // `lastBlockW`: caller-supplied k-slot array that receives the exact tracked
     // block weights at return (avoids a full re-aggregation after a polish pass).
-    // PRECONDITION (co-partitioning contract): callers hash-partition `edges` by the
-    // gather key (dst) once per level and pin it — see Partitioner/ScalingBench — so
-    // supersteps reuse that layout and only the n-row state shuffles.
-    val e = edges
+    // PRECONDITION (co-partitioning contract): callers hash-partition the gather
+    // edges by the gather key once per level and pin them — see Partitioner/
+    // ScalingBench/Gather.prepare — so supersteps reuse that layout and only the
+    // n-row state shuffles.
     var part = Ckpt(
       part0.join(nodeW, "node").select(col("node"), col("block"), col("weight")),
       "ref-part")
@@ -82,8 +99,8 @@ object DistRefiner {
       // gather: per (active node, adjacent block) summed edge weight (agg-then-join:
       // m-row stream shuffles once; the n-row active state joins the aggregate), then
       // ONE aggregation yielding both the internal weight and the best external block
-      val ratings = e
-        .join(part.select(col("node").as("dst"), col("block").as("nb")), "dst")
+      val ratings = Gather
+        .joinLabels(ge, part.select(col("node"), col("block").as("nb")))
         .groupBy(col("src"), col("nb"))
         .agg(sum(col("w")).as("rating"))
         .join(
@@ -207,8 +224,23 @@ object DistRefiner {
       seed: Long = 42L,
       runId: String = "",
       level: Int = -1
+  ): JetResult =
+    jetRefine(spark, Gather.plain(edges), nodeW, part0, k, lmax, rounds, seed, runId, level)
+
+  /** [[jetRefine]] over prepared (optionally hub-salted) gather edges. */
+  def jetRefine(
+      spark: SparkSession,
+      ge: GatherEdges,
+      nodeW: DataFrame,
+      part0: DataFrame,
+      k: Int,
+      lmax: Long,
+      rounds: Int,
+      seed: Long,
+      runId: String,
+      level: Int
   ): JetResult = {
-    val e = edges // precondition: hash-partitioned by dst + pinned by the caller
+    val e = ge.e // precondition: hash-partitioned by the gather key + pinned
     var part = Ckpt(
       part0.join(nodeW, "node").select(col("node"), col("block"), col("weight")),
       "jet-part")
@@ -238,8 +270,8 @@ object DistRefiner {
       // Plan shape: aggregate FIRST (ratings keyed by (src, nb) need no per-src
       // state), join the n-row part table after — the m-row stream shuffles once
       // (map-side partial agg), never a second time for the src-side join.
-      val ratings = e
-        .join(part.select(col("node").as("dst"), col("block").as("nb")), "dst")
+      val ratings = Gather
+        .joinLabels(ge, part.select(col("node"), col("block").as("nb")))
         .groupBy(col("src"), col("nb"))
         .agg(sum(col("w")).as("rating"))
         .join(
@@ -288,8 +320,8 @@ object DistRefiner {
         .select(col("node"), coalesce(col("cand"), col("block")).as("tblock"))
       // same agg-then-join shape: per-(src, tentative-neighbor-block) sums first,
       // then the (small) tentative mover table joins the aggregate
-      val recomputed = e
-        .join(tentLabels.select(col("node").as("dst"), col("tblock").as("tnb")), "dst")
+      val recomputed = Gather
+        .joinLabels(ge, tentLabels.select(col("node"), col("tblock").as("tnb")))
         .groupBy(col("src"), col("tnb"))
         .agg(sum(col("w")).as("tw"))
         .join(tentative.select(col("node").as("src"), col("cur"), col("cand"), col("nw")), "src")
@@ -521,6 +553,113 @@ object DistRefiner {
                 col("weight")
               ),
             "bal-part")
+        }
+      }
+      round += 1
+    }
+    (part.select(col("node"), col("block")), blockW)
+  }
+
+  /** Underload balancer (SURVEY O18, reference `refinement/balancer/
+    * underload_balancer.cc` — part of the DEFAULT refinement chain,
+    * `presets.cc:332-337`; a no-op unless min block weights are configured, exactly
+    * like the reference's `has_min_block_weights()` early-out at
+    * `underload_balancer.cc:47`). Dual of [[balanceTracked]]: per underloaded block
+    * (weight < lmin), PULL boundary nodes in by best relative gain until the deficit
+    * is covered, donors never dropping below their own lmin (the reference's donor
+    * rule at `underload_balancer.cc:243`) and never pulled above lmax.
+    *
+    * Same scale shape as the overload balancer: one gather per round (agg-then-join),
+    * a bounded top-candidate prefix collected, exact matching on the driver.
+    */
+  def underloadBalance(
+      spark: SparkSession,
+      edges: DataFrame,
+      nodeW: DataFrame,
+      part0: DataFrame,
+      k: Int,
+      lmin: Long,
+      lmax: Long,
+      maxRounds: Int = 8,
+      seed: Long = 42L,
+      blockW0: Option[Array[Long]] = None
+  ): (DataFrame, Array[Long]) = {
+    var part = Ckpt(
+      part0.join(nodeW, "node").select(col("node"), col("block"), col("weight")),
+      "ubal-part")
+    val blockW = blockW0.getOrElse(
+      Metrics.blockWeights(part.select(col("node"), col("block")), nodeW, k))
+    var round = 0
+    var done = lmin <= 0L
+    while (round < maxRounds && !done) {
+      val underloaded = (0 until k).filter(b => blockW(b) < lmin)
+      if (underloaded.isEmpty) done = true
+      else {
+        import spark.implicits._
+        val underSet = underloaded.toSet
+
+        // candidates: nodes OUTSIDE the underloaded blocks whose donor block can spare
+        // them; rating toward each underloaded block they touch
+        val members = part.filter(!col("block").isin(underloaded.map(Int.box): _*))
+          .select(col("node").as("src"), col("block").as("cur"), col("weight").as("nw"))
+        val ratings = edges
+          .join(part.select(col("node").as("dst"), col("block").as("nb")), "dst")
+          .groupBy(col("src"), col("nb"))
+          .agg(sum(col("w")).as("rating"))
+          .join(members, "src")
+        val internal = ratings.filter(col("nb") === col("cur"))
+          .select(col("src"), col("rating").as("internalW"))
+        val toUnder = ratings
+          .filter(col("nb").isin(underSet.toSeq.map(Int.box): _*))
+          .join(internal, Seq("src"), "left")
+          .withColumn("gain", col("rating") - coalesce(col("internalW"), lit(0L)))
+          .withColumn("relGain", col("gain").cast("double") / col("nw"))
+          .withColumn("h", xxhash64(col("src"), lit(seed + round)))
+
+        // prefix per underloaded target covering ~2x its deficit, bounded collect
+        val wnd = Window.partitionBy(col("nb"))
+          .orderBy(desc("relGain"), asc("h"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val deficitDf = broadcast(
+          underloaded.map(b => b -> (lmin - blockW(b))).toDF("nb", "deficit"))
+        val rows = toUnder
+          .join(deficitDf, "nb")
+          .withColumn("runW", sum(col("nw")).over(wnd))
+          .filter(col("runW") - col("nw") < lit(2L) * col("deficit") && col("runW") <= lit(CollectCapPerBlock))
+          .select(col("src"), col("cur"), col("nw"), col("nb"), col("relGain"), col("h"))
+          .collect()
+
+        // driver-side exact matching: greedy by relative gain; donor must stay >= its
+        // own lmin, target must not exceed lmax and stops at lmin
+        val moves = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+        val movedSet = scala.collection.mutable.Set.empty[Long]
+        rows.sortBy(r => (-r.getAs[Double]("relGain"), r.getAs[Long]("h"))).foreach { row =>
+          val to = row.getAs[Number]("nb").intValue()
+          val from = row.getAs[Number]("cur").intValue()
+          val src = row.getAs[Long]("src")
+          val nw = row.getAs[Long]("nw")
+          if (!movedSet.contains(src) &&
+            blockW(to) < lmin && blockW(to) + nw <= lmax &&
+            blockW(from) - nw >= lmin) {
+            blockW(from) -= nw
+            blockW(to) += nw
+            moves += ((src, to))
+            movedSet += src
+          }
+        }
+        Log.info(s"underload round $round: moves=${moves.size} under=${underloaded.size}")
+        if (moves.isEmpty) done = true // no eligible donors: stop (infeasible config)
+        else {
+          val movesDf = moves.toSeq.toDF("node", "ucand")
+          part = Ckpt(
+            part
+              .join(broadcast(movesDf), Seq("node"), "left")
+              .select(
+                col("node"),
+                coalesce(col("ucand"), col("block")).cast("int").as("block"),
+                col("weight")
+              ),
+            "ubal-part")
         }
       }
       round += 1

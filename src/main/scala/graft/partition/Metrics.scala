@@ -57,4 +57,10 @@ object Metrics {
   /** M4: all blocks within the cap. */
   def isBalanced(blockW: Array[Long], lmax: Long): Boolean =
     blockW.forall(_ <= lmax)
+
+  /** M4 dual: all blocks at or above the min weight (reference `metrics.h:66-93`
+    * `is_min_balanced`); vacuously true when min weights are unset (lmin = 0).
+    */
+  def isMinBalanced(blockW: Array[Long], lmin: Long): Boolean =
+    blockW.forall(_ >= lmin)
 }

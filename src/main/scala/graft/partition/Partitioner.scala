@@ -27,11 +27,26 @@ final class Partitioner private (
     epsilon: Double,
     seed: Long,
     driverThreshold: Long,
-    refineIters: Int
+    refineIters: Int,
+    minEpsilon: Double = 0.0,
+    hubThreshold: Long = 0L
 ) {
 
   def setK(k: Int) = copy(k = k)
   def setEpsilon(e: Double) = copy(epsilon = e)
+
+  /** Enable min block weights Lmin(b) = (1-minEps)*perfect (reference
+    * `kaminpar.h:514` `setup_min_block_weights`); activates the underload balancer
+    * (O18) in the refinement chain, matching `presets.cc:332-337`.
+    */
+  def setMinEpsilon(e: Double) = copy(minEpsilon = e)
+
+  /** Enable degree-bucket hub splitting in every gather (SURVEY P1 wired into the hot
+    * path): edges toward nodes with degree >= t are salted across shards and the hub
+    * labels replicated — bounds the per-partition share of any hub page's
+    * neighborhood. 0 = off.
+    */
+  def setHubDegreeThreshold(t: Long) = copy(hubThreshold = t)
   def setSeed(s: Long) = copy(seed = s)
   def setDriverThreshold(t: Long) = copy(driverThreshold = t)
   def setRefineIters(i: Int) = copy(refineIters = i)
@@ -44,11 +59,29 @@ final class Partitioner private (
       epsilon: Double = epsilon,
       seed: Long = seed,
       driverThreshold: Long = driverThreshold,
-      refineIters: Int = refineIters
-  ) = new Partitioner(edges, nodeWeights, k, epsilon, seed, driverThreshold, refineIters)
+      refineIters: Int = refineIters,
+      minEpsilon: Double = minEpsilon,
+      hubThreshold: Long = hubThreshold
+  ) = new Partitioner(
+    edges, nodeWeights, k, epsilon, seed, driverThreshold, refineIters, minEpsilon,
+    hubThreshold)
 
   /** @return (assignment (node, block), cut, blockWeights) */
-  def computePartition(spark: SparkSession): Partitioner.Result = {
+  def computePartition(spark: SparkSession): Partitioner.Result =
+    computePartitionImpl(spark, None)
+
+  /** Durable, resumable variant (north rule: resumable convergence): every coarsening
+    * level and every per-level refined partition commits to the run directory; a
+    * restarted invocation reloads the committed stages and continues — identical
+    * results to an uninterrupted run (the pipeline is deterministic given the seed),
+    * asserted by PartitionResumableSpec.
+    */
+  def computePartitionResumable(
+      spark: SparkSession, run: graft.util.RunCheckpoint): Partitioner.Result =
+    computePartitionImpl(spark, Some(run))
+
+  private def computePartitionImpl(
+      spark: SparkSession, resume: Option[graft.util.RunCheckpoint]): Partitioner.Result = {
     val runId = "partition-" + seed + "-" + System.identityHashCode(this)
     val e = Ckpt(edges.select(col("src"), col("dst"), col("w")), "edges")
     val nodeW = Ckpt(
@@ -58,7 +91,7 @@ final class Partitioner private (
       "nodew")
 
     val stats = nodeW.agg(sum(col("weight")), max(col("weight")), count(lit(1))).first()
-    val ctx = PartCtx(k, epsilon, stats.getLong(0), stats.getLong(1))
+    val ctx = PartCtx(k, epsilon, stats.getLong(0), stats.getLong(1), minEpsilon)
     val n = stats.getLong(2)
 
     // scale-aware driver handoff (round-2 fix): an explicit threshold wins; otherwise
@@ -72,31 +105,49 @@ final class Partitioner private (
     // bounded by EDGES too, since coarsening densifies graphs)
     val (levels, cEdges, cNodeW) =
       DistCoarsener.coarsen(spark, e, nodeW, k, epsilon, targetN, seed,
-        targetM = Partitioner.DriverEdgeCap)
+        targetM = Partitioner.DriverEdgeCap, resume = resume,
+        hubDegThreshold = hubThreshold)
 
     // 2. coarsest graph -> driver, dense-relabel sparse coarse ids, partition
-    val coarseNodes = cNodeW.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    val idOf = coarseNodes.iterator.map(_._1).zipWithIndex.toMap
-    val vw = coarseNodes.map(_._2)
-    val coarseEdgeArr = cEdges.collect().map { r =>
-      (idOf(r.getLong(0)).toLong, idOf(r.getLong(1)).toLong, r.getLong(2))
-    }
-    val csr = CsrGraph.fromEdges(coarseNodes.length, coarseEdgeArr, vw)
-    // the FINE graph's balance bounds drive the coarse-level partition; coarse-node
-    // granularity slack is handled inside the sequential partitioner's relax()
-    val seqRes = SeqPartitioner.partitionKwayBest(
-      csr, k, epsilon, seed,
-      boundsOverride = Some((ctx.perfectBlockWeight, ctx.maxBlockWeight))
-    )
-
     import spark.implicits._
-    var part = coarseNodes.indices
-      .map(i => (coarseNodes(i)._1, seqRes.part(i)))
-      .toDF("node", "block")
+    var part = resume.filter(_.hasNamed("part-coarsest")) match {
+      case Some(r) => r.loadNamed(spark, "part-coarsest")
+      case _ =>
+        val coarseNodes = cNodeW.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        val idOf = coarseNodes.iterator.map(_._1).zipWithIndex.toMap
+        val vw = coarseNodes.map(_._2)
+        val coarseEdgeArr = cEdges.collect().map { r =>
+          (idOf(r.getLong(0)).toLong, idOf(r.getLong(1)).toLong, r.getLong(2))
+        }
+        val csr = CsrGraph.fromEdges(coarseNodes.length, coarseEdgeArr, vw)
+        // the FINE graph's balance bounds drive the coarse-level partition; coarse-node
+        // granularity slack is handled inside the sequential partitioner's relax()
+        val seqRes = SeqPartitioner.partitionKwayBest(
+          csr, k, epsilon, seed,
+          boundsOverride = Some((ctx.perfectBlockWeight, ctx.maxBlockWeight))
+        )
+        val p0 = coarseNodes.indices
+          .map(i => (coarseNodes(i)._1, seqRes.part(i)))
+          .toDF("node", "block")
+        resume match {
+          case Some(r) =>
+            val saved = r.saveNamed("part-coarsest", p0)
+            r.appendMetrics(100, Map("stage" -> "part-coarsest"))
+            Partitioner.failpoint("part-coarsest")
+            saved
+          case None => p0
+        }
+    }
 
     // 3. uncoarsen: project up + refine per level (finest level last)
     var lastBlockW: Option[Array[Long]] = None
     var levelNo = levels.length - 1
+    while (levelNo >= 0 && resume.exists(_.hasNamed(s"part-level$levelNo"))) {
+      // resumable run: this level's refined partition is already committed
+      part = resume.get.loadNamed(spark, s"part-level$levelNo")
+      lastBlockW = None // recomputed below if this was the finest level
+      levelNo -= 1
+    }
     while (levelNo >= 0) {
       val level = levels(levelNo)
       val fineNodeW =
@@ -108,13 +159,20 @@ final class Partitioner private (
       val projected = level.mapping
         .join(part.withColumnRenamed("node", "cnode"), "cnode")
         .select(col("node"), col("block"))
-      // hash-partition this level's edges by the gather key ONCE; every refinement
-      // stage below reuses the layout (only vertex state shuffles per superstep)
-      val fe = fineEdges.select(col("src"), col("dst"), col("w"))
-        .repartition(col("dst")).persist()
+      // hash-partition this level's edges by the gather key ONCE (hub-salted when
+      // configured); every refinement stage below reuses the layout (only vertex
+      // state shuffles per superstep)
+      val ge =
+        if (hubThreshold > 0L)
+          Gather.prepare(fineEdges.select(col("src"), col("dst"), col("w")), hubThreshold)
+        else
+          Gather.plain(
+            fineEdges.select(col("src"), col("dst"), col("w")).repartition(col("dst")).persist())
+      val fe = ge.e
       val refined = DistRefiner.lpRefine(
-        spark, fe, fineNodeW, projected, k, ctx.maxBlockWeight,
-        maxIter = refineIters, seed = seed + levelNo, runId = runId, level = levelNo
+        spark, ge, fineNodeW, projected, k, ctx.maxBlockWeight,
+        maxIter = refineIters, seed = seed + levelNo, runId = runId, level = levelNo,
+        lastBlockW = None
       )
       val balanced = DistRefiner
         .balance(spark, fe, fineNodeW, refined, k, ctx.maxBlockWeight, seed = seed + levelNo)
@@ -122,21 +180,47 @@ final class Partitioner private (
       // recovers cut quality that positive-gain LP cannot reach from a projected
       // partition; keeps the best (feasible, cut) snapshot, so it never regresses
       val jet = DistRefiner.jetRefine(
-        spark, fe, fineNodeW, balanced, k, ctx.maxBlockWeight,
+        spark, ge, fineNodeW, balanced, k, ctx.maxBlockWeight,
         rounds = 4, seed = seed + 1000 + levelNo, runId = runId, level = levelNo
       )
       // positive-gain LP polish over JET's winner: strictly non-worsening (gain > 0
       // with per-target rollback), picks up the stragglers JET's bulk rounds leave
       val polishW = new Array[Long](k)
       val polished = DistRefiner.lpRefine(
-        spark, fe, fineNodeW, jet.part, k, ctx.maxBlockWeight,
+        spark, ge, fineNodeW, jet.part, k, ctx.maxBlockWeight,
         maxIter = 3, seed = seed + 2000 + levelNo, runId = runId, level = levelNo,
         lastBlockW = Some(polishW)
       )
       part = polished
       lastBlockW = Some(polishW)
+      // underload balancer (O18): the reference default chain ends each level with
+      // it (`presets.cc:332-337`); a no-op unless min block weights are configured
+      if (ctx.hasMinBlockWeights) {
+        val (pulled, ubW) = DistRefiner.underloadBalance(
+          spark, fe, fineNodeW, part, k, ctx.minBlockWeight, ctx.maxBlockWeight,
+          seed = seed + 3000 + levelNo, blockW0 = Some(polishW.clone()))
+        part = pulled
+        System.arraycopy(ubW, 0, polishW, 0, k)
+      }
+      resume.foreach { r =>
+        part = r.saveNamed(s"part-level$levelNo", part)
+        r.appendMetrics(200 + (levels.length - 1 - levelNo), Map("stage" -> s"part-level$levelNo"))
+      }
       fe.unpersist()
+      Partitioner.failpoint(s"part-level$levelNo")
       levelNo -= 1
+    }
+
+    // pure driver path (no coarsening levels): the underload balancer still runs when
+    // min block weights are configured — the seq partitioner only enforces Lmax
+    if (levels.isEmpty && ctx.hasMinBlockWeights) {
+      val fe = e.repartition(col("dst")).persist()
+      val (pulled, ubW) = DistRefiner.underloadBalance(
+        spark, fe, nodeW, part, k, ctx.minBlockWeight, ctx.maxBlockWeight,
+        seed = seed + 3000)
+      part = pulled
+      lastBlockW = Some(ubW)
+      fe.unpersist()
     }
 
     // the finest level's polish tracked its block weights exactly — reuse them; the
@@ -145,12 +229,22 @@ final class Partitioner private (
       case Some(w) if levels.nonEmpty => (w, Metrics.edgeCut(e, part))
       case _ => (Metrics.blockWeights(part, nodeW, k), Metrics.edgeCut(e, part))
     }
+    resume.foreach(_.markDone())
     Partitioner.Result(part, cut, blockW, Metrics.imbalance(blockW), ctx,
       graft.util.IterMetricsCollector.drain(runId))
   }
 }
 
 object Partitioner {
+
+  /** Test-only failpoint: throws after the named resumable stage commits, simulating
+    * an interruption between stages.
+    */
+  private[graft] var failAfterStage: Option[String] = None
+  private[partition] def failpoint(stage: String): Unit =
+    if (failAfterStage.contains(stage))
+      throw new RuntimeException(s"failpoint: interrupted after $stage")
+
   final case class Result(
       assignment: DataFrame,
       cut: Long,
@@ -160,6 +254,7 @@ object Partitioner {
       iterMetrics: Seq[graft.model.IterMetrics] = Seq.empty
   ) {
     def feasible: Boolean = blockWeights.forall(_ <= ctx.maxBlockWeight)
+    def minFeasible: Boolean = blockWeights.forall(_ >= ctx.minBlockWeight)
   }
 
   /** Max coarse edges collected to the driver: coarsening densifies, so the handoff
@@ -173,5 +268,5 @@ object Partitioner {
     * Driver threshold <= 0 (default) = scale-aware: min(100k, max(512, n/4)).
     */
   def apply(edges: DataFrame): Partitioner =
-    new Partitioner(edges, None, 2, 0.03, 42L, -1L, 5)
+    new Partitioner(edges, None, 2, 0.03, 42L, -1L, 5, 0.0, 0L)
 }

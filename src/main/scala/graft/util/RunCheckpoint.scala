@@ -45,15 +45,33 @@ final class RunCheckpoint(val root: String, val runId: String) {
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
   }
 
-  /** Latest committed superstep, if any. */
+  /** Latest committed superstep, if any (named states are ignored). */
   def latestStep: Option[Int] = {
     val stateRoot = dir.resolve("state")
     if (!Files.isDirectory(stateRoot)) None
     else Files.list(stateRoot).iterator().asScala
       .filter(p => Files.exists(p.resolve("_COMMIT")))
-      .map(_.getFileName.toString.toInt)
+      .flatMap(p => p.getFileName.toString.toIntOption)
       .foldLeft(Option.empty[Int])((acc, s) => Some(acc.fold(s)(math.max(_, s))))
   }
+
+  // ---- named states: multi-artifact pipelines (e.g. the partitioner's coarsening
+  // levels + per-level refined partitions) address stages by name ----
+
+  private def namedDir(name: String) = dir.resolve("state").resolve(name)
+
+  def hasNamed(name: String): Boolean =
+    Files.exists(namedDir(name).resolve("_COMMIT"))
+
+  def saveNamed(name: String, state: DataFrame): DataFrame = {
+    val p = namedDir(name)
+    state.write.mode("overwrite").parquet(p.toString)
+    Files.writeString(p.resolve("_COMMIT"), "ok")
+    state.sparkSession.read.parquet(p.toString)
+  }
+
+  def loadNamed(spark: SparkSession, name: String): DataFrame =
+    spark.read.parquet(namedDir(name).toString)
 
   def load(spark: SparkSession, step: Int): DataFrame =
     spark.read.parquet(stateDir(step).toString)

@@ -215,6 +215,50 @@ class EdgeCapSpec extends SparkFunSuite {
   }
 }
 
+/** Underload balancer (O18, reference `underload_balancer.cc` — part of the DEFAULT
+  * refinement chain, `presets.cc:332-337`): pulls boundary nodes into blocks below
+  * the min weight; donors never drop below their own min.
+  */
+class UnderloadBalancerSpec extends SparkFunSuite {
+  test("pulls nodes into under-min blocks across rounds; donors stay >= lmin") {
+    val s = spark
+    import s.implicits._
+    val n = 60
+    val edges = undirectedUnit((0 until n).map(i => (i.toLong, ((i + 1) % n).toLong)))
+    val nodeW = (0L until n.toLong).map((_, 1L)).toDF("node", "weight")
+    val part0 = (0L until n.toLong)
+      .map(nn => (nn, if (nn < 30) 0 else if (nn < 59) 1 else 2))
+      .toDF("node", "block")
+    val fe = edges.repartition(col("dst"))
+    val (part, bw) = DistRefiner.underloadBalance(
+      spark, fe, nodeW, part0, 3, lmin = 15L, lmax = 40L, seed = 1L)
+    assert(bw.forall(_ >= 15L), s"blocks below min: ${bw.mkString(",")}")
+    assert(bw.sum === n.toLong)
+    val counts = part.groupBy(col("block")).agg(count(lit(1))).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (0 until 3).foreach(b => assert(counts.getOrElse(b, 0L) === bw(b), s"block $b"))
+  }
+
+  test("computePartition with min weights: every block within [Lmin, Lmax], both paths") {
+    val rnd = new scala.util.Random(5)
+    val n = 200
+    val edgeSet = scala.collection.mutable.Set.empty[(Long, Long)]
+    (0 until n).foreach(i => edgeSet += ((i.toLong, ((i + 1) % n).toLong)))
+    (0 until 3 * n).foreach { _ =>
+      val a = rnd.nextInt(n); val b = rnd.nextInt(n)
+      if (a != b) edgeSet += ((math.min(a, b).toLong, math.max(a, b).toLong))
+    }
+    val edges = undirectedUnit(edgeSet.toSeq)
+    for (threshold <- Seq(100000L, 60L)) {
+      val res = Partitioner(edges).setK(4).setEpsilon(0.05).setMinEpsilon(0.2)
+        .setSeed(3L).setDriverThreshold(threshold).computePartition(spark)
+      assert(res.feasible, s"threshold=$threshold over-cap: ${res.blockWeights.mkString(",")}")
+      assert(res.minFeasible,
+        s"threshold=$threshold under-min (lmin=${res.ctx.minBlockWeight}): ${res.blockWeights.mkString(",")}")
+    }
+  }
+}
+
 /** Two-hop clustering (O3): singleton clusters sharing a favored cluster merge into
   * weight-capped chunks — the shrink rescue for hub-skewed graphs where plain LP
   * stalls (reference `label_propagation.h:931-1100`).
