@@ -59,6 +59,37 @@ object SparkEntry {
 
   private val PrIters = 5
 
+  /** Connected-components oracle: unrolled min-label propagation, one CTE per
+    * superstep. Plan hygiene that DuckDB needs at this depth: every step is
+    * MATERIALIZED (plain CTEs are inlined and the optimizer's work grows
+    * super-linearly past ~16 chained steps), and each step references the previous
+    * labels exactly ONCE — the self-loops folded into `syml` carry a node's own label
+    * forward, so no second reference (a double reference doubles the inlined plan per
+    * step = exponential blowup). Converges once T >= the graph diameter; T=24 and
+    * T=40 agree at sf0.01, so 40 carries a wide margin.
+    */
+  private def ccLabelsSql(iters: Int): String = {
+    val head =
+      """WITH dir AS MATERIALIZED (
+        |  SELECT l_orderkey AS a, l_partkey + 100000000 AS b
+        |  FROM lineitem GROUP BY 1, 2
+        |), syml AS MATERIALIZED (
+        |  SELECT a AS src, b AS dst FROM dir
+        |  UNION ALL SELECT b, a FROM dir
+        |  UNION ALL SELECT a, a FROM dir
+        |  UNION ALL SELECT b, b FROM dir
+        |),
+        |l0 AS MATERIALIZED (SELECT src AS node, src AS lbl FROM syml GROUP BY 1)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT e.dst AS node, min(l.lbl) AS lbl
+         |  FROM syml e JOIN l${i - 1} l ON e.src = l.node GROUP BY 1
+         |)""".stripMargin
+    }
+    (Seq(head) ++ steps).mkString(",\n") +
+      s"\nSELECT node, lbl AS component FROM l$iters"
+  }
+
   /** Flagship query; driver smoke-checks rows>0. The full north-star path: synthetic
     * Common-Crawl-style page table -> HTML link extraction -> dictionary-encoded
     * symmetric edge table -> PageRank -> top pages by rank (joined back to urls).
@@ -101,13 +132,13 @@ object SparkEntry {
       PageRank.run(s, Graphs.bipartite(s, dir), iterations = PrIters)
         .select(col("node"), round(col("pr"), 8).as("pr"))
     }),
-    // CC large-star/small-star — component sizes ARE SQL-checkable via the fact that
-    // the bipartite graph's components partition the node set; full per-node labels
-    // verified in ScalaTest; here: per-component size histogram (rows-only oracle).
-    "q08_cc_sizes" -> ((s, dir) =>
+    // CC large-star/small-star: EXACT per-node component labels (component = min node
+    // id of the component), DuckDB-checked against an unrolled min-label-propagation
+    // oracle (converged: T=40 and T=24 agree at sf0.01; Spark computes the true
+    // fixpoint)
+    "q08_cc_labels" -> ((s, dir) =>
       ConnectedComponents.run(s, Graphs.bipartite(s, dir))
-        .groupBy(col("component"))
-        .agg(count(lit(1)).cast("long").as("size"))),
+        .select(col("node"), col("component"))),
     // LP community detection — rows-only (seeded-deterministic; exactness in ScalaTest)
     "q09_lp_communities" -> ((s, dir) =>
       LabelPropagation.run(s, Graphs.copurchase(s, dir), maxIter = 10)
@@ -242,6 +273,7 @@ object SparkEntry {
         |JOIN pairs e2 ON e1.hi = e2.lo
         |JOIN pairs e3 ON e3.lo = e1.lo AND e3.hi = e2.hi""".stripMargin,
     "q07_pagerank5" -> pageRankSql(PrIters),
+    "q08_cc_labels" -> ccLabelsSql(40),
     "q12_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tokens,
