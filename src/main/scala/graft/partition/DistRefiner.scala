@@ -62,6 +62,25 @@ object DistRefiner {
       runId: String,
       level: Int,
       lastBlockW: Option[Array[Long]]
+  ): DataFrame =
+    lpRefineCaps(spark, ge, nodeW, part0, k, Array.fill(k)(lmax), maxIter, seed,
+      runId, level, lastBlockW)
+
+  /** [[lpRefine]] with PER-BLOCK caps — during deep-MGP extension a block owning
+    * fk final blocks is capped at fk*Lmax (`partition_utils.cc:21-50` role).
+    */
+  def lpRefineCaps(
+      spark: SparkSession,
+      ge: GatherEdges,
+      nodeW: DataFrame,
+      part0: DataFrame,
+      k: Int,
+      caps: Array[Long],
+      maxIter: Int,
+      seed: Long,
+      runId: String = "",
+      level: Int = -1,
+      lastBlockW: Option[Array[Long]] = None
   ): DataFrame = {
     // `lastBlockW`: caller-supplied k-slot array that receives the exact tracked
     // block weights at return (avoids a full re-aggregation after a polish pass).
@@ -91,7 +110,7 @@ object DistRefiner {
     while (it < maxIter) {
       import spark.implicits._
       val residualDf = broadcast(
-        (0 until k).map(b => (b, math.max(0L, lmax - blockW(b)))).toDF("cand", "residual"))
+        (0 until k).map(b => (b, math.max(0L, caps(b) - blockW(b)))).toDF("cand", "residual"))
 
       val parity = pmod(xxhash64(col("node"), lit(seed)) + lit(it), lit(2))
       val active = part.filter(parity === 0)
@@ -163,7 +182,7 @@ object DistRefiner {
         .map(r => (r.getAs[Number]("cur").intValue(), r.getAs[Number]("cand").intValue(), r.getAs[Long]("mw")))
       val inW = new Array[Long](k)
       deltas.foreach { case (_, to, mw) => inW(to) += mw }
-      val okBlocks = (0 until k).filter(b => blockW(b) + inW(b) <= lmax).toSet
+      val okBlocks = (0 until k).filter(b => blockW(b) + inW(b) <= caps(b)).toSet
 
       // apply with per-target-block rollback (violating TARGET blocks drop all their
       // moves this round) — a projection over the staged parquet, no extra write
@@ -239,6 +258,21 @@ object DistRefiner {
       seed: Long,
       runId: String,
       level: Int
+  ): JetResult =
+    jetRefineCaps(spark, ge, nodeW, part0, k, Array.fill(k)(lmax), rounds, seed, runId, level)
+
+  /** [[jetRefine]] with per-block caps (deep-MGP extension phases). */
+  def jetRefineCaps(
+      spark: SparkSession,
+      ge: GatherEdges,
+      nodeW: DataFrame,
+      part0: DataFrame,
+      k: Int,
+      caps: Array[Long],
+      rounds: Int,
+      seed: Long,
+      runId: String = "",
+      level: Int = -1
   ): JetResult = {
     val e = ge.e // precondition: hash-partitioned by the gather key + pinned
     var part = Ckpt(
@@ -302,7 +336,7 @@ object DistRefiner {
 
       // the cut of the partition ENTERING this round, free from the gather
       val cutNow = perNode.agg(coalesce(sum(col("extW")), lit(0L))).first().getLong(0) / 2
-      val feasibleNow = Metrics.isBalanced(blockW, lmax)
+      val feasibleNow = Metrics.isBalanced(blockW, caps)
       consider(part, cutNow, feasibleNow)
       Log.info(s"jet round $r: c=$c enteringCut=$cutNow feasible=$feasibleNow")
       if (runId.nonEmpty)
@@ -333,11 +367,14 @@ object DistRefiner {
       // per-target capacity prefix (O23-style): admit movers in recomputed-gain order
       // while the running weight fits residual + a small JET slack (temporary
       // overload stays bounded, so the rebalance below is rare and one-round cheap)
-      val slack = math.max(1L, lmax / 10)
       import spark.implicits._
       val capDf = broadcast(
-        (0 until k).map(b => (b, math.max(0L, lmax - blockW(b)) + slack))
-          .toDF("cand", "cap"))
+        (0 until k).map { b =>
+          // zero-cap blocks are NOT in use (deep-MGP extension: only group-range
+          // starts hold weight) — no slack, so nothing ever moves into them
+          val slack = if (caps(b) == 0L) 0L else math.max(1L, caps(b) / 10)
+          (b, math.max(0L, caps(b) - blockW(b)) + slack)
+        }.toDF("cand", "cap"))
       val wndA = Window.partitionBy(col("cand"))
         .orderBy(desc("again"), asc("ha"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -369,9 +406,9 @@ object DistRefiner {
       deltas.foreach { case (from, to, mw) => blockW(from) -= mw; blockW(to) += mw }
 
       // rebalance only when the deltas show an overloaded block
-      if (!Metrics.isBalanced(blockW, lmax)) {
-        val (balanced, balW) = balanceTracked(
-          spark, e, nodeW, part.select(col("node"), col("block")), k, lmax,
+      if (!Metrics.isBalanced(blockW, caps)) {
+        val (balanced, balW) = balanceTrackedCaps(
+          spark, e, nodeW, part.select(col("node"), col("block")), k, caps,
           seed = seed + r, blockW0 = Some(blockW.clone()))
         part = Ckpt(
           balanced.join(nodeW, "node").select(col("node"), col("block"), col("weight")),
@@ -382,7 +419,7 @@ object DistRefiner {
     }
     // the last round's result was never cut-evaluated inside the loop — one final pass
     val finalCut = Metrics.edgeCut(e, part.select(col("node"), col("block")))
-    consider(part, finalCut, Metrics.isBalanced(blockW, lmax))
+    consider(part, finalCut, Metrics.isBalanced(blockW, caps))
     Log.info(s"jet done: bestCut=$bestCut feasible=$bestFeasible")
     JetResult(best.select(col("node"), col("block")), bestCut, bestBlockW, bestFeasible)
   }
@@ -419,6 +456,21 @@ object DistRefiner {
       maxRounds: Int = 8,
       seed: Long = 42L,
       blockW0: Option[Array[Long]] = None
+  ): (DataFrame, Array[Long]) =
+    balanceTrackedCaps(spark, edges, nodeW, part0, k, Array.fill(k)(lmax), maxRounds,
+      seed, blockW0)
+
+  /** [[balanceTracked]] with per-block caps (deep-MGP extension phases). */
+  def balanceTrackedCaps(
+      spark: SparkSession,
+      edges: DataFrame,
+      nodeW: DataFrame,
+      part0: DataFrame,
+      k: Int,
+      caps: Array[Long],
+      maxRounds: Int = 8,
+      seed: Long = 42L,
+      blockW0: Option[Array[Long]] = None
   ): (DataFrame, Array[Long]) = {
     var part = Ckpt(
       part0.join(nodeW, "node").select(col("node"), col("block"), col("weight")),
@@ -428,12 +480,12 @@ object DistRefiner {
     var round = 0
     var done = false
     while (round < maxRounds && !done) {
-      val overloaded = (0 until k).filter(b => blockW(b) > lmax)
+      val overloaded = (0 until k).filter(b => blockW(b) > caps(b))
       if (overloaded.isEmpty) done = true
       else {
         import spark.implicits._
         val overSet = overloaded.toSet
-        val totalOverload = overloaded.map(b => blockW(b) - lmax).sum
+        val totalOverload = overloaded.map(b => blockW(b) - caps(b)).sum
 
         val members = part.filter(col("block").isin(overloaded.map(Int.box): _*))
           .select(col("node").as("src"), col("block").as("cur"), col("weight").as("nw"))
@@ -468,7 +520,7 @@ object DistRefiner {
           .orderBy(desc("relGain"), asc("h"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val overloadDf = broadcast(
-          overloaded.map(b => b -> (blockW(b) - lmax)).toDF("cur", "overload"))
+          overloaded.map(b => b -> (blockW(b) - caps(b))).toDF("cur", "overload"))
         val prefix = top3
           .groupBy(col("src"), col("cur"), col("nw"))
           .agg(collect_list(struct(col("trk"), col("nb"), col("gain"))).as("cands"),
@@ -485,9 +537,9 @@ object DistRefiner {
         val rows = prefix
           .select(col("src"), col("cur"), col("nw"), col("relGain"), col("h"), col("cands"))
           .collect()
-        val residual = Array.tabulate(k)(b => math.max(0L, lmax - blockW(b)))
+        val residual = Array.tabulate(k)(b => math.max(0L, caps(b) - blockW(b)))
         val moves = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
-        val stillOver = overloaded.map(b => b -> (blockW(b) - lmax)).to(scala.collection.mutable.Map)
+        val stillOver = overloaded.map(b => b -> (blockW(b) - caps(b))).to(scala.collection.mutable.Map)
         rows.sortBy(r => (-r.getAs[Double]("relGain"), r.getAs[Long]("h"))).foreach { row =>
           val cur = row.getAs[Number]("cur").intValue()
           if (stillOver.getOrElse(cur, 0L) > 0L) {

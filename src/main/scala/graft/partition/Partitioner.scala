@@ -108,10 +108,19 @@ final class Partitioner private (
         targetM = Partitioner.DriverEdgeCap, resume = resume,
         hubDegThreshold = hubThreshold)
 
-    // 2. coarsest graph -> driver, dense-relabel sparse coarse ids, partition
+    // 2. coarsest graph -> driver, dense-relabel sparse coarse ids, partition.
+    // Deep-MGP (SURVEY O15/O16 distributed): when k is large relative to the coarsest
+    // graph, partition only to k' = 2^d blocks (~CExt coarse nodes per block) and
+    // extend toward k during uncoarsening (DistExtend); `doublings` tracks how far the
+    // extension has progressed, groups re-derive from it functionally.
     import spark.implicits._
+    val FullDoublings = 32
+    var doublings = FullDoublings
     var part = resume.filter(_.hasNamed("part-coarsest")) match {
-      case Some(r) => r.loadNamed(spark, "part-coarsest")
+      case Some(r) =>
+        val loaded = r.loadNamed(spark, "part-coarsest")
+        doublings = Partitioner.ceilLog2(loaded.select(col("block")).distinct().count())
+        loaded
       case _ =>
         val coarseNodes = cNodeW.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
         val idOf = coarseNodes.iterator.map(_._1).zipWithIndex.toMap
@@ -120,15 +129,25 @@ final class Partitioner private (
           (idOf(r.getLong(0)).toLong, idOf(r.getLong(1)).toLong, r.getLong(2))
         }
         val csr = CsrGraph.fromEdges(coarseNodes.length, coarseEdgeArr, vw)
+        doublings = math.min(FullDoublings, DistExtend.doublingsFor(coarseNodes.length.toLong, k))
         // the FINE graph's balance bounds drive the coarse-level partition; coarse-node
         // granularity slack is handled inside the sequential partitioner's relax()
-        val seqRes = SeqPartitioner.partitionKwayBest(
-          csr, k, epsilon, seed,
-          boundsOverride = Some((ctx.perfectBlockWeight, ctx.maxBlockWeight))
-        )
-        val p0 = coarseNodes.indices
-          .map(i => (coarseNodes(i)._1, seqRes.part(i)))
-          .toDF("node", "block")
+        val p0 =
+          if (DistExtend.splitGroups(k, doublings).forall(_._2 == 1)) {
+            doublings = FullDoublings
+            val seqRes = SeqPartitioner.partitionKwayBest(
+              csr, k, epsilon, seed,
+              boundsOverride = Some((ctx.perfectBlockWeight, ctx.maxBlockWeight)))
+            coarseNodes.indices.map(i => (coarseNodes(i)._1, seqRes.part(i)))
+              .toDF("node", "block")
+          } else {
+            val (partArr, _) = SeqPartitioner.partitionKwayGroups(
+              csr, k, epsilon, seed,
+              boundsOverride = Some((ctx.perfectBlockWeight, ctx.maxBlockWeight)),
+              maxDoublings = doublings)
+            coarseNodes.indices.map(i => (coarseNodes(i)._1, partArr(i)))
+              .toDF("node", "block")
+          }
         resume match {
           case Some(r) =>
             val saved = r.saveNamed("part-coarsest", p0)
@@ -138,16 +157,21 @@ final class Partitioner private (
           case None => p0
         }
     }
+    def groupsNow: List[(Int, Int)] = DistExtend.splitGroups(k, doublings)
 
     // 3. uncoarsen: project up + refine per level (finest level last)
     var lastBlockW: Option[Array[Long]] = None
     var levelNo = levels.length - 1
+    var resumedAnyLevel = false
     while (levelNo >= 0 && resume.exists(_.hasNamed(s"part-level$levelNo"))) {
       // resumable run: this level's refined partition is already committed
       part = resume.get.loadNamed(spark, s"part-level$levelNo")
       lastBlockW = None // recomputed below if this was the finest level
+      resumedAnyLevel = true
       levelNo -= 1
     }
+    if (resumedAnyLevel)
+      doublings = Partitioner.ceilLog2(part.select(col("block")).distinct().count())
     while (levelNo >= 0) {
       val level = levels(levelNo)
       val fineNodeW =
@@ -156,9 +180,32 @@ final class Partitioner private (
       val fineEdges =
         if (levelNo == 0) e
         else levels(levelNo - 1).coarseEdges
-      val projected = level.mapping
-        .join(part.withColumnRenamed("node", "cnode"), "cnode")
-        .select(col("node"), col("block"))
+      var projected = Ckpt(
+        level.mapping
+          .join(part.withColumnRenamed("node", "cnode"), "cnode")
+          .select(col("node"), col("block")),
+        "proj")
+      // deep-MGP extension: grow k' toward k as the level can host ~CExt-node blocks;
+      // the finest level always reaches full k
+      if (groupsNow.exists(_._2 > 1)) {
+        val nLevel = fineNodeW.count()
+        val targetD =
+          if (levelNo == 0) 32
+          else DistExtend.doublingsFor(nLevel, k)
+        val feExt = fineEdges.select(col("src"), col("dst"), col("w"))
+        while (doublings < targetD && groupsNow.exists(_._2 > 1)) {
+          val g0 = groupsNow
+          doublings += 1
+          projected = Ckpt(
+            DistExtend.extendDoubling(
+              spark, feExt, fineNodeW, projected, g0,
+              ctx.perfectBlockWeight, ctx.maxBlockWeight, seed + 4000 + doublings),
+            "proj-ext")
+          graft.util.Log.info(s"extend level=$levelNo k'=${groupsNow.size}")
+        }
+      }
+      val caps = new Array[Long](k)
+      groupsNow.foreach { case (lo, fk) => caps(lo) = fk * ctx.maxBlockWeight }
       // hash-partition this level's edges by the gather key ONCE (hub-salted when
       // configured); every refinement stage below reuses the layout (only vertex
       // state shuffles per superstep)
@@ -169,25 +216,24 @@ final class Partitioner private (
           Gather.plain(
             fineEdges.select(col("src"), col("dst"), col("w")).repartition(col("dst")).persist())
       val fe = ge.e
-      val refined = DistRefiner.lpRefine(
-        spark, ge, fineNodeW, projected, k, ctx.maxBlockWeight,
-        maxIter = refineIters, seed = seed + levelNo, runId = runId, level = levelNo,
-        lastBlockW = None
+      val refined = DistRefiner.lpRefineCaps(
+        spark, ge, fineNodeW, projected, k, caps,
+        maxIter = refineIters, seed = seed + levelNo, runId = runId, level = levelNo
       )
       val balanced = DistRefiner
-        .balance(spark, fe, fineNodeW, refined, k, ctx.maxBlockWeight, seed = seed + levelNo)
+        .balanceTrackedCaps(spark, fe, fineNodeW, refined, k, caps, seed = seed + levelNo)._1
       // JET pass (O20): negative-gain-tolerant bulk moves with an afterwards-filter —
       // recovers cut quality that positive-gain LP cannot reach from a projected
       // partition; keeps the best (feasible, cut) snapshot, so it never regresses
-      val jet = DistRefiner.jetRefine(
-        spark, ge, fineNodeW, balanced, k, ctx.maxBlockWeight,
+      val jet = DistRefiner.jetRefineCaps(
+        spark, ge, fineNodeW, balanced, k, caps,
         rounds = 4, seed = seed + 1000 + levelNo, runId = runId, level = levelNo
       )
       // positive-gain LP polish over JET's winner: strictly non-worsening (gain > 0
       // with per-target rollback), picks up the stragglers JET's bulk rounds leave
       val polishW = new Array[Long](k)
-      val polished = DistRefiner.lpRefine(
-        spark, ge, fineNodeW, jet.part, k, ctx.maxBlockWeight,
+      val polished = DistRefiner.lpRefineCaps(
+        spark, ge, fineNodeW, jet.part, k, caps,
         maxIter = 3, seed = seed + 2000 + levelNo, runId = runId, level = levelNo,
         lastBlockW = Some(polishW)
       )
@@ -195,7 +241,7 @@ final class Partitioner private (
       lastBlockW = Some(polishW)
       // underload balancer (O18): the reference default chain ends each level with
       // it (`presets.cc:332-337`); a no-op unless min block weights are configured
-      if (ctx.hasMinBlockWeights) {
+      if (ctx.hasMinBlockWeights && groupsNow.forall(_._2 == 1)) {
         val (pulled, ubW) = DistRefiner.underloadBalance(
           spark, fe, fineNodeW, part, k, ctx.minBlockWeight, ctx.maxBlockWeight,
           seed = seed + 3000 + levelNo, blockW0 = Some(polishW.clone()))
@@ -236,6 +282,9 @@ final class Partitioner private (
 }
 
 object Partitioner {
+
+  private[partition] def ceilLog2(x: Long): Int =
+    if (x <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(x - 1)
 
   /** Test-only failpoint: throws after the named resumable stage commits, simulating
     * an interruption between stages.

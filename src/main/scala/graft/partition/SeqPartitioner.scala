@@ -109,6 +109,38 @@ object SeqPartitioner {
     if (k == 1) return Result(part, 0L)
     val (perfect, lmax) = bounds(g, k, eps, boundsOverride)
     val rand = new Random(seed)
+    extendAndRefine(g, k, eps, seed, perfect, lmax, rand, part, Int.MaxValue)
+    Result(part, cut(g, part))
+  }
+
+  /** Deep-MGP coarsest stage (reference `deep_multilevel.cc:275-328` role): run at
+    * most `maxDoublings` breadth-first doublings and return (part, groups) with every
+    * group tightened to its exact fk*Lmax cap — the distributed pipeline extends the
+    * remaining doublings during uncoarsening via block-induced driver bisections.
+    */
+  def partitionKwayGroups(
+      g: CsrGraph, k: Int, eps: Double, seed: Long,
+      boundsOverride: Option[(Long, Long)],
+      maxDoublings: Int
+  ): (Array[Int], List[(Int, Int)]) = {
+    val part = new Array[Int](g.n)
+    val (perfect, lmax) = bounds(g, k, eps, boundsOverride)
+    val rand = new Random(seed)
+    val groups = extendAndRefine(g, k, eps, seed, perfect, lmax, rand, part, maxDoublings)
+    (part, groups)
+  }
+
+  /** One block-induced bisection for the distributed extension (SURVEY P5 + O15). */
+  def bisect(
+      g: CsrGraph, t0: Long, t1: Long, max0: Long, max1: Long, seed: Long
+  ): Array[Int] =
+    multilevelBisect(g, t0, t1, max0, max1, new Random(seed))
+
+  private def extendAndRefine(
+      g: CsrGraph, k: Int, eps: Double, seed: Long,
+      perfect: Long, lmax: Long, rand: Random, part: Array[Int],
+      maxDoublings: Int
+  ): List[(Int, Int)] = {
 
     // groups: (blockId = final-range start, #final blocks in the group)
     // Balance anneals across the doublings: intermediate levels get a RELAXED cap
@@ -119,7 +151,9 @@ object SeqPartitioner {
     val epsLoose = math.max(eps, 0.10)
     val lmaxLoose = math.max(math.ceil((1.0 + epsLoose) * perfect).toLong, lmax)
     var groups = List((0, k))
-    while (groups.exists(_._2 > 1)) {
+    var doublings = 0
+    while (groups.exists(_._2 > 1) && doublings < maxDoublings) {
+      doublings += 1
       // 1. tighten every group to its EXACT cap fk*Lmax before splitting — group
       // slack is fk*(Lmax-perfect), so this is roomy at group granularity and
       // guarantees every bisection below has a feasible exact-cap split
@@ -160,6 +194,16 @@ object SeqPartitioner {
         if (Trace) println(s"  k'=${groups.size} afterRefine cut=${cut(g, part)}")
       }
     }
+    // doubling-capped (deep-MGP coarsest stage): tighten every group to its exact
+    // fk*Lmax cap and hand the rest of the extension to the caller
+    if (groups.exists(_._2 > 1)) {
+      val capsExact = new Array[Long](k)
+      groups.foreach { case (lo, fk) => capsExact(lo) = fk * lmax }
+      kwayFmRefine(g, part, k, capsExact, math.max(2 * g.maxNodeWeight, lmax / 10))
+      kwayLpRefine(g, part, k, capsExact, rand, rounds = 6)
+      return groups
+    }
+
     // final chain at the exact caps: the state is feasible by construction; slack
     // buys tentative swap sequences (rolled back unless they land feasible), and
     // pairwise 2-way FM performs the balanced swaps k-way per-move caps cannot
@@ -191,7 +235,7 @@ object SeqPartitioner {
     // pipeline) the distributed JET/LP levels above recover the quality, so one cycle
     // suffices; small driver-path graphs keep the full polish
     vcycle(g, part, k, lmax, rand, cycles = if (g.n > 5000) 1 else 2)
-    Result(part, cut(g, part))
+    groups
   }
 
   /** Guaranteed rebalance: greedily move members out of overloaded blocks into the
