@@ -96,11 +96,15 @@ object Bench {
     val total = results.values.sum
     val prEps = m.toDouble * prIters / tPr
     val refineEps = m.toDouble * refineIters / tRefine
+    // evidence that the flagship bench exercises the DISTRIBUTED pipeline: number of
+    // coarsening levels refined (iterMetrics carry the level index per superstep)
+    val partLevels = partRes.iterMetrics.map(_.level).distinct.count(_ >= 0)
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(
       s"""{"metric":"edges_per_sec_per_superstep","value":${prEps.toLong},"unit":"edges/sec",""" +
         s""""pagerank_eps":${prEps.toLong},"refine_eps":${refineEps.toLong},"edges":$m,""" +
         s""""cut":${partRes.cut},"imbalance":${partRes.imbalance},"feasible":${partRes.feasible},""" +
+        s""""partition_levels":$partLevels,""" +
         s""""total_sec":$total,"queries":$qs,"sf":"$sfDir","cpus":$cpus}"""
     )
     spark.stop()

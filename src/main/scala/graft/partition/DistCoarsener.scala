@@ -140,6 +140,60 @@ object DistCoarsener {
     labels.select(col("node"), col("label"))
   }
 
+  /** Overlay clustering (SURVEY O10, reference `coarsening/overlay_cluster_coarsener
+    * .cc:2-3` role): intersect `t` independent seeded LP clusterings — a node pair
+    * merges only if EVERY clustering merged it, giving gentler, more uniform
+    * coarsening. New label = min member node id of each intersection class
+    * (deterministic, partition-independent).
+    */
+  def overlayCluster(
+      spark: SparkSession,
+      edges: DataFrame,
+      nodeW: DataFrame,
+      cap: Long,
+      t: Int = 2,
+      maxIter: Int = 5,
+      seed: Long = 42L
+  ): DataFrame = {
+    require(t >= 1)
+    var combined = lpCluster(spark, edges, nodeW, cap, maxIter, seed)
+    var i = 1
+    while (i < t) {
+      val li = lpCluster(spark, edges, nodeW, cap, maxIter, seed + i * 7919L)
+      val pairs = Ckpt(
+        combined.withColumnRenamed("label", "l1")
+          .join(li.withColumnRenamed("label", "l2"), "node"),
+        "overlay-pairs")
+      val leaders = pairs.groupBy(col("l1"), col("l2")).agg(min(col("node")).as("leader"))
+      combined = Ckpt(
+        pairs.join(leaders, Seq("l1", "l2")).select(col("node"), col("leader").as("label")),
+        "overlay")
+      i += 1
+    }
+    combined
+  }
+
+  /** Sparsification (SURVEY O11, reference `sparsification_cluster_coarsener.cc`
+    * role, ESA'25 threshold sparsification): when the (coarse) graph carries more
+    * edges than `targetM`, keep only the heaviest — threshold from an approximate
+    * weight quantile, ties broken by a SYMMETRIC hash of the unordered endpoint pair
+    * so both directions of an undirected edge live or die together.
+    */
+  def sparsify(spark: SparkSession, edges: DataFrame, targetM: Long): DataFrame = {
+    val m = edges.count()
+    if (m <= targetM) edges
+    else {
+      val frac = targetM.toDouble / m
+      val thr = edges.stat.approxQuantile("w", Array(1.0 - frac), 0.01).head
+      val tie = pmod(
+        xxhash64(least(col("src"), col("dst")), greatest(col("src"), col("dst"))),
+        lit(1000000L)).cast("double") / 1e6
+      Ckpt(
+        edges.filter(col("w") > thr || (col("w") === thr && tie < frac)),
+        "sparsified")
+    }
+  }
+
   /** Two-hop clustering (SURVEY O3, reference `label_propagation.h:931-1100`):
     * leftover singleton clusters that share the same "favored" neighbor cluster (their
     * argmax-rated cluster, cap ignored) are merged with each other — they are two hops
