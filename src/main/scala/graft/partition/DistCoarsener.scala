@@ -194,6 +194,66 @@ object DistCoarsener {
     }
   }
 
+  /** Heavy-edge-matching clustering (SURVEY O30, reference
+    * `kaminpar-dist/coarsening/clustering/hem/hem_clusterer.cc:2` role): color the
+    * graph, then one BSP round per color class — every unmatched node of the round's
+    * color proposes to its heaviest unmatched neighbor that fits the weight cap;
+    * same-color proposers are never adjacent (proper coloring), and two proposers
+    * sharing a target resolve by (edge weight, hash) argmax on the target side.
+    * Leftover nodes stay singletons. Alternative coarsening to LP — optional, like
+    * the reference (LP is the default preset).
+    */
+  def hemCluster(
+      spark: SparkSession,
+      edges: DataFrame,
+      nodeW: DataFrame,
+      cap: Long,
+      maxColors: Int = 8,
+      seed: Long = 42L
+  ): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w")).repartition(col("dst")).persist()
+    val colors = graft.ops.Auxiliary.greedyColoring(spark, e, seed = seed)
+    var state = Ckpt(
+      nodeW.join(colors, "node")
+        .select(col("node"), col("weight"), col("color"),
+          lit(null).cast("long").as("mate")),
+      "hem-state")
+
+    var c = 0
+    while (c < maxColors) {
+      // proposals: this color's unmatched nodes -> heaviest unmatched neighbor
+      // fitting the pair weight cap (argmax by weight, hash tiebreak)
+      val free = state.filter(col("mate").isNull)
+      val targets = free.select(col("node").as("dst"), col("weight").as("dw"))
+      val proposers = free.filter(col("color") === c)
+        .select(col("node").as("src"), col("weight").as("sw"))
+      val proposals = e
+        .join(targets, "dst")
+        .join(proposers, "src")
+        .filter(col("src") =!= col("dst") && col("sw") + col("dw") <= cap)
+        .withColumn("h", xxhash64(col("dst"), lit(seed + c)))
+        .groupBy(col("src"))
+        .agg(max_by(col("dst"), struct(col("w"), (-col("h")).as("nh"))).as("tgt"))
+      // conflict resolution: one winner per target (targets are never proposers this
+      // round: proposers share the round's color, targets cannot)
+      val pairs = proposals
+        .withColumn("hs", xxhash64(col("src"), lit(seed + c)))
+        .groupBy(col("tgt"))
+        .agg(min_by(col("src"), col("hs")).as("src"))
+      val mates = pairs.select(col("src").as("node"), col("tgt").as("m"))
+        .unionAll(pairs.select(col("tgt").as("node"), col("src").as("m")))
+      state = Ckpt(
+        state.join(mates, Seq("node"), "left")
+          .select(col("node"), col("weight"), col("color"),
+            coalesce(col("mate"), col("m")).as("mate")),
+        "hem-state")
+      c += 1
+    }
+    e.unpersist()
+    state.select(col("node"),
+      coalesce(least(col("node"), col("mate")), col("node")).as("label"))
+  }
+
   /** Two-hop clustering (SURVEY O3, reference `label_propagation.h:931-1100`):
     * leftover singleton clusters that share the same "favored" neighbor cluster (their
     * argmax-rated cluster, cap ignored) are merged with each other — they are two hops

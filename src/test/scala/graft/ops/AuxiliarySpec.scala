@@ -82,6 +82,46 @@ class OverlaySparsifySpec extends SparkFunSuite {
     }
   }
 
+  test("HEM clustering: a matching (clusters of size <= 2), heavy edges preferred") {
+    val s = spark
+    import s.implicits._
+    // triangle a-b (w=10), b-c (w=1), a-c (w=1) plus a path tail c-d (w=5)
+    val edges = undirected(Seq((0L, 1L, 10L), (1L, 2L, 1L), (0L, 2L, 1L), (2L, 3L, 5L)))
+    val nodeW = (0L to 3L).map((_, 1L)).toDF("node", "weight")
+    val labels = graft.partition.DistCoarsener
+      .hemCluster(spark, edges, nodeW, cap = 2L, seed = 4L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val groups = labels.groupBy(_._2).view.mapValues(_.keys.toSet).toMap
+    assert(groups.values.forall(_.size <= 2), s"not a matching: $groups")
+    // the heavy edges are matched: {0,1} together and {2,3} together
+    assert(labels(0L) === labels(1L), s"heaviest edge unmatched: $labels")
+    assert(labels(2L) === labels(3L), s"w=5 edge unmatched: $labels")
+    // matched pairs are real edges
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    groups.values.filter(_.size == 2).foreach { g =>
+      val Seq(a, b) = g.toSeq.sorted
+      assert(es((a, b)), s"matched non-edge ($a,$b)")
+    }
+    // determinism under repartition
+    val again = graft.partition.DistCoarsener
+      .hemCluster(spark, edges.repartition(5), nodeW, cap = 2L, seed = 4L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === labels)
+  }
+
+  test("HEM respects the cluster weight cap") {
+    val s = spark
+    import s.implicits._
+    val edges = undirected(Seq((0L, 1L, 10L), (1L, 2L, 8L)))
+    val nodeW = Seq((0L, 3L), (1L, 3L), (2L, 1L)).toDF("node", "weight")
+    // cap 4: 0-1 (3+3=6) cannot match; 1-2 (3+1=4) can
+    val labels = graft.partition.DistCoarsener
+      .hemCluster(spark, edges, nodeW, cap = 4L, seed = 4L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(0L) === 0L, "over-cap pair must stay split")
+    assert(labels(1L) === labels(2L), "fitting pair should match")
+  }
+
   test("sparsify keeps the heaviest edges symmetrically within the budget") {
     val s = spark
     import s.implicits._
