@@ -40,8 +40,14 @@ object ParhipIO {
       val nid32 = (version & 8L) != 0L
       val vw32 = (version & 16L) != 0L
       val ew32 = (version & 32L) != 0L
-      val n = readLong().toInt
-      val m = readLong().toInt
+      val n64 = readLong()
+      val m64 = readLong()
+      // the 64-bit header exists exactly so files can exceed 2^31 entries — refuse
+      // loudly instead of silently wrapping the Int-indexed arrays below
+      require(n64 >= 0 && n64 <= Int.MaxValue - 1 && m64 >= 0 && m64 <= Int.MaxValue - 1,
+        s"graph too large for array-backed CsrGraph: n=$n64 m=$m64 (driver reader caps at 2^31-2)")
+      val n = n64.toInt
+      val m = m64.toInt
 
       def readId(is32: Boolean): Long = if (is32) readInt().toLong else readLong()
 

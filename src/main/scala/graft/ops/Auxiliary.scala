@@ -44,7 +44,10 @@ object Auxiliary {
     var it = 0
     var undecided = 1L
     while (it < maxIter && undecided > 0) {
-      val pri = xxhash64(col("node"), lit(seed))
+      // per-round priorities (seed + iteration): adjacent nodes with COLLIDING
+      // hashes would otherwise never pass the strict '>' test and stall undecided
+      // forever — a fresh draw each round resolves ties w.h.p.
+      val pri = xxhash64(col("node"), lit(seed), lit(it))
       val und = state.filter(col("s") === 0).select(col("node"), pri.as("p"))
       // per undecided node: the max neighbor priority among undecided neighbors, and
       // whether any neighbor is already IN the set
@@ -66,7 +69,7 @@ object Auxiliary {
               .when(coalesce(col("hasSetNbr"), lit(0)) === 1, lit(-1))
               .when(
                 col("maxUndecidedNbr").isNull ||
-                  xxhash64(col("node"), lit(seed)) > col("maxUndecidedNbr"),
+                  xxhash64(col("node"), lit(seed), lit(it)) > col("maxUndecidedNbr"),
                 lit(1))
               .otherwise(lit(0))
               .as("s")
@@ -98,14 +101,14 @@ object Auxiliary {
     var it = 0
     var uncolored = 1L
     while (it < maxIter && uncolored > 0) {
-      val pri = xxhash64(col("node"), lit(seed))
       // per uncolored node: set of neighbor colors + whether a higher-priority
-      // uncolored neighbor still exists
+      // uncolored neighbor still exists. Priorities are per-round (seed + iteration)
+      // so colliding adjacent hashes resolve next round instead of stalling at -1.
       val nbr = e
         .join(colors.select(col("node").as("dst"), col("color").as("nc")), "dst")
         .join(
           colors.filter(col("color") === -1)
-            .select(col("node").as("dst"), xxhash64(col("dst"), lit(seed)).as("np")),
+            .select(col("node").as("dst"), xxhash64(col("dst"), lit(seed), lit(it)).as("np")),
           Seq("dst"), "left")
         .groupBy(col("src"))
         .agg(
@@ -120,7 +123,7 @@ object Auxiliary {
             when(col("color") >= 0, col("color"))
               .when(
                 col("maxUncoloredNbr").isNull ||
-                  xxhash64(col("node"), lit(seed)) > col("maxUncoloredNbr"),
+                  xxhash64(col("node"), lit(seed), lit(it)) > col("maxUncoloredNbr"),
                 // smallest non-negative integer not in `used`: used has <= deg
                 // entries, so a value in [0, size(used)] is always free
                 aggregate(

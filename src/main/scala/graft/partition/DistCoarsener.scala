@@ -213,9 +213,12 @@ object DistCoarsener {
   ): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("w")).repartition(col("dst")).persist()
     val colors = graft.ops.Auxiliary.greedyColoring(spark, e, seed = seed)
+    // LEFT join: greedyColoring's domain is edge endpoints only — isolated nodes
+    // (and any node left uncolored at maxIter) must still flow through as singleton
+    // clusters, or contraction would lose nodes and node weight
     var state = Ckpt(
-      nodeW.join(colors, "node")
-        .select(col("node"), col("weight"), col("color"),
+      nodeW.join(colors, Seq("node"), "left")
+        .select(col("node"), col("weight"), coalesce(col("color"), lit(-1)).as("color"),
           lit(null).cast("long").as("mate")),
       "hem-state")
 

@@ -119,7 +119,10 @@ final class Partitioner private (
     var part = resume.filter(_.hasNamed("part-coarsest")) match {
       case Some(r) =>
         val loaded = r.loadNamed(spark, "part-coarsest")
-        doublings = Partitioner.ceilLog2(loaded.select(col("block")).distinct().count())
+        // the doubling count is committed metadata, never re-derived from the data:
+        // a distinct-block count undercounts when bisection left blocks empty
+        doublings = r.getMeta("doublings-part-coarsest").map(_.toInt).getOrElse(
+          Partitioner.ceilLog2(loaded.select(col("block")).distinct().count()))
         loaded
       case _ =>
         val coarseNodes = cNodeW.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
@@ -129,7 +132,11 @@ final class Partitioner private (
           (idOf(r.getLong(0)).toLong, idOf(r.getLong(1)).toLong, r.getLong(2))
         }
         val csr = CsrGraph.fromEdges(coarseNodes.length, coarseEdgeArr, vw)
-        doublings = math.min(FullDoublings, DistExtend.doublingsFor(coarseNodes.length.toLong, k))
+        // no coarsening levels -> no uncoarsening, so deep-MGP extension would never
+        // run; the driver holds the WHOLE graph here, partition straight to full k
+        doublings =
+          if (levels.isEmpty) FullDoublings
+          else math.min(FullDoublings, DistExtend.doublingsFor(coarseNodes.length.toLong, k))
         // the FINE graph's balance bounds drive the coarse-level partition; coarse-node
         // granularity slack is handled inside the sequential partitioner's relax()
         val p0 =
@@ -150,6 +157,9 @@ final class Partitioner private (
           }
         resume match {
           case Some(r) =>
+            // meta BEFORE the state commit: a resume only reads the meta of stages
+            // whose _COMMIT exists, so this order can never leave them inconsistent
+            r.putMeta("doublings-part-coarsest", doublings.toString)
             val saved = r.saveNamed("part-coarsest", p0)
             r.appendMetrics(100, Map("stage" -> "part-coarsest"))
             Partitioner.failpoint("part-coarsest")
@@ -162,16 +172,18 @@ final class Partitioner private (
     // 3. uncoarsen: project up + refine per level (finest level last)
     var lastBlockW: Option[Array[Long]] = None
     var levelNo = levels.length - 1
-    var resumedAnyLevel = false
+    var lastResumedLevel = -1
     while (levelNo >= 0 && resume.exists(_.hasNamed(s"part-level$levelNo"))) {
       // resumable run: this level's refined partition is already committed
       part = resume.get.loadNamed(spark, s"part-level$levelNo")
       lastBlockW = None // recomputed below if this was the finest level
-      resumedAnyLevel = true
+      lastResumedLevel = levelNo
       levelNo -= 1
     }
-    if (resumedAnyLevel)
-      doublings = Partitioner.ceilLog2(part.select(col("block")).distinct().count())
+    if (lastResumedLevel >= 0)
+      doublings = resume.flatMap(_.getMeta(s"doublings-part-level$lastResumedLevel"))
+        .map(_.toInt).getOrElse(
+          Partitioner.ceilLog2(part.select(col("block")).distinct().count()))
     while (levelNo >= 0) {
       val level = levels(levelNo)
       val fineNodeW =
@@ -249,12 +261,32 @@ final class Partitioner private (
         System.arraycopy(ubW, 0, polishW, 0, k)
       }
       resume.foreach { r =>
+        r.putMeta(s"doublings-part-level$levelNo", doublings.toString)
         part = r.saveNamed(s"part-level$levelNo", part)
         r.appendMetrics(200 + (levels.length - 1 - levelNo), Map("stage" -> s"part-level$levelNo"))
       }
       fe.unpersist()
       Partitioner.failpoint(s"part-level$levelNo")
       levelNo -= 1
+    }
+
+    // contract guard: the result must carry FULL k blocks. Level 0 forces targetD=32
+    // and the zero-level path forces FullDoublings, so this loop normally never runs;
+    // it guarantees the invariant against any hierarchy geometry (e.g. a resumed run
+    // whose re-derived doubling count undershot).
+    if (groupsNow.exists(_._2 > 1)) {
+      val feExt = e.select(col("src"), col("dst"), col("w"))
+      while (groupsNow.exists(_._2 > 1)) {
+        val g0 = groupsNow
+        doublings += 1
+        part = Ckpt(
+          DistExtend.extendDoubling(
+            spark, feExt, nodeW, part, g0,
+            ctx.perfectBlockWeight, ctx.maxBlockWeight, seed + 4000 + doublings),
+          "proj-ext-final")
+        graft.util.Log.info(s"extend finest (guard): k'=${groupsNow.size}")
+      }
+      lastBlockW = None // tracked weights predate the extension — force recompute
     }
 
     // pure driver path (no coarsening levels): the underload balancer still runs when

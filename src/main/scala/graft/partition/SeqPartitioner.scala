@@ -235,7 +235,52 @@ object SeqPartitioner {
     // pipeline) the distributed JET/LP levels above recover the quality, so one cycle
     // suffices; small driver-path graphs keep the full polish
     vcycle(g, part, k, lmax, rand, cycles = if (g.n > 5000) 1 else 2)
+    // last (so no later pass can re-empty a block): every block non-empty when n >= k
+    fillEmptyBlocks(g, part, k, Array.fill(k)(lmax))
     groups
+  }
+
+  /** Populate empty blocks (possible after bisections/eviction at tight n/k ratios):
+    * move the cheapest mover — minimum internal connectivity, so usually a boundary
+    * node — from a multi-node block into each empty block, respecting its cap. Runs
+    * AFTER all refinement; LP/FM would otherwise immediately pull a lone seed back
+    * out (positive gain toward its old block) and re-empty the block.
+    */
+  def fillEmptyBlocks(g: CsrGraph, part: Array[Int], k: Int, caps: Array[Long]): Unit = {
+    val counts = new Array[Int](k)
+    val blockW = blockWeights(g, part, k)
+    var u = 0
+    while (u < g.n) { counts(part(u)) += 1; u += 1 }
+    var b = 0
+    while (b < k) {
+      if (counts(b) == 0 && caps(b) > 0L) {
+        var best = -1
+        var bestInternal = Long.MaxValue
+        var v = 0
+        while (v < g.n) {
+          val cb = part(v)
+          if (counts(cb) > 1 && g.vwgt(v) <= caps(b) && blockW(cb) - g.vwgt(v) >= 0L) {
+            var internal = 0L
+            var ei = g.xadj(v)
+            while (ei < g.xadj(v + 1)) {
+              if (part(g.adjncy(ei)) == cb) internal += g.adjwgt(ei)
+              ei += 1
+            }
+            if (internal < bestInternal || (internal == bestInternal && (best < 0 || v < best))) {
+              best = v; bestInternal = internal
+            }
+          }
+          v += 1
+        }
+        if (best >= 0) {
+          val from = part(best)
+          counts(from) -= 1; counts(b) += 1
+          blockW(from) -= g.vwgt(best); blockW(b) += g.vwgt(best)
+          part(best) = b
+        }
+      }
+      b += 1
+    }
   }
 
   /** Guaranteed rebalance: greedily move members out of overloaded blocks into the

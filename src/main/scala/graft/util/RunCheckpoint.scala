@@ -73,6 +73,20 @@ final class RunCheckpoint(val root: String, val runId: String) {
   def loadNamed(spark: SparkSession, name: String): DataFrame =
     spark.read.parquet(namedDir(name).toString)
 
+  // ---- scalar metadata: small facts a resumed run must NOT re-derive from the data
+  // (e.g. the partitioner's extension-doubling count — re-deriving it from the
+  // distinct block count undercounts when blocks are empty) ----
+
+  def putMeta(key: String, value: String): Unit = {
+    Files.createDirectories(dir.resolve("meta"))
+    Files.writeString(dir.resolve("meta").resolve(key), value)
+  }
+
+  def getMeta(key: String): Option[String] = {
+    val p = dir.resolve("meta").resolve(key)
+    if (Files.exists(p)) Some(Files.readString(p)) else None
+  }
+
   def load(spark: SparkSession, step: Int): DataFrame =
     spark.read.parquet(stateDir(step).toString)
 

@@ -109,6 +109,21 @@ class OverlaySparsifySpec extends SparkFunSuite {
     assert(again === labels)
   }
 
+  test("HEM keeps isolated nodes as singleton clusters (no node/weight loss)") {
+    val s = spark
+    import s.implicits._
+    // one edge 0-1 plus isolated nodes 2, 3: the coloring domain is {0,1} only, so a
+    // non-left join would drop 2 and 3 from the clustering entirely
+    val edges = undirected(Seq((0L, 1L, 2L)))
+    val nodeW = Seq((0L, 1L), (1L, 1L), (2L, 5L), (3L, 1L)).toDF("node", "weight")
+    val labels = graft.partition.DistCoarsener
+      .hemCluster(spark, edges, nodeW, cap = 10L, seed = 4L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet === Set(0L, 1L, 2L, 3L), s"nodes lost: $labels")
+    assert(labels(2L) === 2L && labels(3L) === 3L, "isolated nodes must be singletons")
+    assert(labels(0L) === labels(1L))
+  }
+
   test("HEM respects the cluster weight cap") {
     val s = spark
     import s.implicits._

@@ -176,6 +176,35 @@ class BalancePropertySpec extends SparkFunSuite {
   }
 }
 
+/** Regression (round-3 ADVICE high): k >= MinExtendK on a graph small enough that
+  * coarsening yields ZERO levels must still return a full-k partition — deep-MGP
+  * extension only ran inside the uncoarsening loop, so k=64 on a 512-node graph used
+  * to come back with 2 blocks.
+  */
+class FullKZeroLevelsSpec extends SparkFunSuite {
+  test("k=64 with no coarsening levels returns 64 populated blocks, feasible") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val n = 512
+    val edgeSet = scala.collection.mutable.Set.empty[(Long, Long)]
+    (0 until n).foreach(i => edgeSet += ((i.toLong, ((i + 1) % n).toLong)))
+    (0 until 4 * n).foreach { _ =>
+      val a = rnd.nextInt(n); val b = rnd.nextInt(n)
+      if (a != b) edgeSet += ((math.min(a, b).toLong, math.max(a, b).toLong))
+    }
+    val edges = undirectedUnit(edgeSet.toSeq)
+    // default scale-aware threshold: targetN = max(512, n/4) = 512 >= n -> no levels
+    val res = Partitioner(edges).setK(64).setEpsilon(0.05).setSeed(2L)
+      .computePartition(spark)
+    val blocks = res.assignment.select(col("block")).distinct().collect().map(_.getInt(0)).sorted
+    assert(blocks.length === 64, s"expected 64 blocks, got ${blocks.length}")
+    assert(blocks.head === 0 && blocks.last === 63)
+    assert(res.feasible, s"blockW=${res.blockWeights.mkString(",")} lmax=${res.ctx.maxBlockWeight}")
+    assert(res.blockWeights.forall(_ > 0L), "no block may be empty")
+  }
+}
+
 /** Driver-handoff edge cap (round-2 judge fix #5): coarsening densifies graphs, so
   * the handoff must be bounded by edges too — a dense graph below the node target
   * must still coarsen until the edge cap is met (or convergence).
