@@ -60,12 +60,33 @@ object Bench {
     results += "triangles" -> tTri
 
     // k-way partition: coarsening + driver IP + per-level refinement; refinement
-    // superstep throughput measured separately on the finest level
-    val (partRes, tPart) = time {
-      graft.partition.Partitioner(edges).setK(16).setEpsilon(0.03).setSeed(42L)
-        .computePartition(spark)
+    // superstep throughput measured separately on the finest level.
+    // The pipeline is deterministic given the seed, so in-process repetitions are
+    // free correctness-wise — run 3x and report min/median/max plus per-stage
+    // medians (round-3 measurement-hygiene fix: this box shows up to 2x run-to-run
+    // noise, a single sample is unfalsifiable).
+    val partReps = sys.env.getOrElse("SPARK_GRAFT_PART_REPS", "3").toInt
+    val partRuns = (0 until partReps).map { _ =>
+      time {
+        graft.partition.Partitioner(edges).setK(16).setEpsilon(0.03).setSeed(42L)
+          .computePartition(spark)
+      }
     }
-    results += "partition_k16" -> tPart
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+    }
+    val partTimes = partRuns.map(_._2)
+    val partRes = partRuns.head._1
+    require(
+      partRuns.forall(r => r._1.cut == partRes.cut &&
+        java.util.Arrays.equals(r._1.blockWeights, partRes.blockWeights)),
+      "partition repetitions must be bit-identical (deterministic seed)")
+    results += "partition_k16" -> median(partTimes)
+    val stageNames = partRuns.flatMap(_._1.stageTimes.keys).distinct
+    val stageMedians = stageNames.map { st =>
+      st -> median(partRuns.map(_._1.stageTimes.getOrElse(st, 0.0)))
+    }
 
     val refineIters = 5
     val nodeW = edges.select(col("src").as("node")).distinct().withColumn("weight", lit(1L))
@@ -100,11 +121,15 @@ object Bench {
     // coarsening levels refined (iterMetrics carry the level index per superstep)
     val partLevels = partRes.iterMetrics.map(_.level).distinct.count(_ >= 0)
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val partStats =
+      s"""{"reps":$partReps,"min":${partTimes.min},"median":${median(partTimes)},"max":${partTimes.max}}"""
+    val partStages = stageMedians.map { case (st, v) => s""""$st":$v""" }.mkString("{", ",", "}")
     println(
       s"""{"metric":"edges_per_sec_per_superstep","value":${prEps.toLong},"unit":"edges/sec",""" +
         s""""pagerank_eps":${prEps.toLong},"refine_eps":${refineEps.toLong},"edges":$m,""" +
         s""""cut":${partRes.cut},"imbalance":${partRes.imbalance},"feasible":${partRes.feasible},""" +
         s""""partition_levels":$partLevels,""" +
+        s""""partition_stats":$partStats,"partition_stage_medians":$partStages,""" +
         s""""total_sec":$total,"queries":$qs,"sf":"$sfDir","cpus":$cpus}"""
     )
     spark.stop()

@@ -212,7 +212,11 @@ object SparkEntry {
       graft.streaming.EventStreams
         .windowedCountsBatch(s.read.parquet(s"$dir/events.parquet"), "1 hour")
         .select(col("window_start"), col("event_type"), col("events"),
-          round(col("total_value"), 6).as("total_value")))
+          round(col("total_value"), 6).as("total_value"))),
+    // real BPE subword tokenization (merge loop over the embedded table) — rows-only
+    // (an iterative merge loop is not SQL-expressible; exact hand-computed fixtures
+    // in BpeSpec). The q12 whitespace-token oracle is unchanged.
+    "q24_bpe_tokens" -> ((s, dir) => graft.textops.Bpe.bpeTokens(docs(s, dir)))
   )
 
   /** q10/q11 share one partition run per sf dir (the run is deterministic, and the

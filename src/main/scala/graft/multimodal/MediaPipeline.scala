@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side machinery here — schema, partitioning, batch shape, typed
   * mapPartitions pipeline (the Scala analog of a Pandas-UDF `mapInPandas` stage) — is
-  * real and tested. The actual codec step is a clearly marked STUB (`decodeStub`):
-  * image/audio libraries are not in this container, so the decode produces a
-  * deterministic fake "decoded frame" from the bytes. Swapping `decodeStub` for a real
+  * real and tested, and since round 3 the IMAGE path is a real decode too:
+  * `syntheticMedia` renders genuine PNGs and `extractFeatures` decodes them with
+  * `javax.imageio.ImageIO` (ships in the JDK), emitting decoded dimensions + per-channel
+  * histograms. Audio/video decoding still goes through the clearly marked
+  * `decodeStub` (no codec libraries in this container); swapping it for a real
   * JNI/codec call changes nothing else in the pipeline.
   */
 object MediaPipeline {
@@ -18,7 +20,7 @@ object MediaPipeline {
   final case class MediaRow(
       media_id: Long,
       kind: String, // image | audio | video
-      media: Array[Byte], // opaque payload
+      media: Array[Byte], // opaque payload (REAL PNG bytes for kind=image)
       width: Int,
       height: Int,
       sample_rate: Int
@@ -28,33 +30,56 @@ object MediaPipeline {
       media_id: Long,
       kind: String,
       bytes: Long,
-      // STUBbed decode output: 16-bin byte histogram as the stand-in feature vector
+      // image: 48-dim per-channel (R,G,B x 16 bins) normalized histogram from the
+      // DECODED pixels; audio/video: 16-bin byte histogram from decodeStub
       features: Array[Double],
-      frames_sampled: Int
+      frames_sampled: Int,
+      // decoded dimensions (images only; 0 otherwise) — asserted against the
+      // metadata columns in MediaPipelineSpec
+      decoded_width: Int,
+      decoded_height: Int
   )
 
-  /** Deterministic synthetic media table (seeded; no external data): `n` rows of fake
-    * payloads whose bytes are a seeded hash stream — stands in for the opaque binary
-    * column of a real Iceberg media table.
+  /** Deterministic synthetic media table (seeded; no external data): `n` rows.
+    * Image rows carry REAL PNG payloads (deterministic pixels, encoded with the
+    * JDK's ImageIO); audio/video rows carry seeded opaque byte streams.
     */
   def syntheticMedia(spark: SparkSession, n: Int, seed: Long = 42L): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n.toLong).map { i =>
       val rnd = new scala.util.Random(seed ^ (i * 0x9e3779b97f4a7c15L))
       val kind = Seq("image", "audio", "video")((i % 3).toInt)
-      val len = 256 + rnd.nextInt(768)
-      val bytes = new Array[Byte](len)
-      rnd.nextBytes(bytes)
-      MediaRow(i, kind, bytes, 64 + rnd.nextInt(512), 64 + rnd.nextInt(512), 16000)
+      if (kind == "image") {
+        val w = 8 + rnd.nextInt(56)
+        val h = 8 + rnd.nextInt(56)
+        val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, rnd.nextInt(1 << 24))
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        MediaRow(i, kind, out.toByteArray, w, h, 0)
+      } else {
+        val len = 256 + rnd.nextInt(768)
+        val bytes = new Array[Byte](len)
+        rnd.nextBytes(bytes)
+        MediaRow(i, kind, bytes, 0, 0, 16000)
+      }
     }
   }
 
-  /** STUB decode: a real implementation would decode the image/audio frame here.
+  /** STUB decode for audio/video: a real implementation would decode the frame here.
     * Deterministic fake: 16-bin byte histogram, normalized. Marked clearly so the
     * swap-in point is obvious.
     */
   private def decodeStub(media: Array[Byte]): Array[Double] = {
-    // ??? <- real codec call goes here (e.g. TwelveMonkeys/JavaCV decode)
+    // ??? <- real codec call goes here (e.g. JavaCV/ffmpeg decode)
     val hist = new Array[Double](16)
     var i = 0
     while (i < media.length) { hist((media(i) & 0xff) / 16) += 1.0; i += 1 }
@@ -62,19 +87,59 @@ object MediaPipeline {
     hist.map(_ / total)
   }
 
+  /** Real image decode: PNG/JPEG bytes -> (width, height, 48-dim per-channel
+    * histogram). Returns None when the payload is not a decodable image.
+    */
+  private def decodeImage(media: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val hist = new Array[Double](48)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          hist(((rgb >> 16) & 0xff) / 16) += 1.0
+          hist(16 + (((rgb >> 8) & 0xff) / 16)) += 1.0
+          hist(32 + ((rgb & 0xff) / 16)) += 1.0
+          x += 1
+        }
+        y += 1
+      }
+      val total = (w * h).toDouble
+      Some((w, h, hist.map(_ / total)))
+    }
+  }
+
   /** Batched feature extraction: one decode pass per partition (the mapInPandas batch
-    * shape), emitting typed feature rows. Frame sampling for video kind: every
-    * `frameStride`-th 64-byte window is "a frame".
+    * shape), emitting typed feature rows. Images are REALLY decoded (ImageIO); frame
+    * sampling for video kind: every `frameStride`-th 64-byte window is "a frame".
     */
   def extractFeatures(media: Dataset[MediaRow], frameStride: Int = 4): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { row =>
-        val feats = decodeStub(row.media)
-        val frames =
-          if (row.kind == "video") math.max(1, row.media.length / 64 / frameStride) else 1
-        MediaFeatures(row.media_id, row.kind, row.media.length.toLong, feats, frames)
+        row.kind match {
+          case "image" =>
+            decodeImage(row.media) match {
+              case Some((w, h, feats)) =>
+                MediaFeatures(row.media_id, row.kind, row.media.length.toLong, feats, 1, w, h)
+              case None => // undecodable payload: fall back to the byte histogram
+                MediaFeatures(
+                  row.media_id, row.kind, row.media.length.toLong, decodeStub(row.media), 1, 0, 0)
+            }
+          case "video" =>
+            val frames = math.max(1, row.media.length / 64 / frameStride)
+            MediaFeatures(
+              row.media_id, row.kind, row.media.length.toLong, decodeStub(row.media), frames, 0, 0)
+          case _ =>
+            MediaFeatures(
+              row.media_id, row.kind, row.media.length.toLong, decodeStub(row.media), 1, 0, 0)
+        }
       }
     }
   }

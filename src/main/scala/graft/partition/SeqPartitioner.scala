@@ -141,6 +141,7 @@ object SeqPartitioner {
       perfect: Long, lmax: Long, rand: Random, part: Array[Int],
       maxDoublings: Int
   ): List[(Int, Int)] = {
+    val traceT0 = System.nanoTime()
 
     // groups: (blockId = final-range start, #final blocks in the group)
     // Balance anneals across the doublings: intermediate levels get a RELAXED cap
@@ -160,27 +161,40 @@ object SeqPartitioner {
       val capsExact = new Array[Long](k)
       groups.foreach { case (lo, fk) => capsExact(lo) = fk * lmax }
       kwayLpRefine(g, part, k, capsExact, rand, rounds = 6)
-      // 2. split each group under the exact side caps
-      val next = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
-      for ((lo, fk) <- groups) {
-        if (fk == 1) next += ((lo, 1))
-        else {
-          val k0 = (fk + 1) / 2
-          val k1 = fk - k0
-          val (sub, ids) = inducedByBlock(g, part, lo)
-          val total = sub.totalNodeWeight
-          var t0 = math.ceil(total.toDouble * k0 / fk).toLong
-          if (total - t0 > k1 * lmax) t0 = total - k1 * lmax
-          if (t0 > k0 * lmax) t0 = k0 * lmax
-          val side = multilevelBisect(sub, t0, total - t0, k0 * lmax, k1 * lmax, rand)
-          var i = 0
-          while (i < sub.n) { if (side(i) == 1) part(ids(i)) = lo + k0; i += 1 }
-          next += ((lo, k0))
-          next += ((lo + k0, k1))
-        }
+      // 2. split each group under the exact side caps. Group bisections are
+      // INDEPENDENT (each touches only its own members — disjoint `part` slots), so
+      // they run on a local pool with per-group seeded Randoms (deterministic, and
+      // the driver IP stage no longer serializes a 32-core box at 8+ groups).
+      val splitJobs = groups.filter(_._2 > 1)
+      if (splitJobs.nonEmpty) {
+        import scala.concurrent.{Await, Future, ExecutionContext}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.max(1, math.min(splitJobs.size, Runtime.getRuntime.availableProcessors())))
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+        try {
+          Await.result(
+            Future.sequence(splitJobs.map { case (lo, fk) => Future {
+              val k0 = (fk + 1) / 2
+              val k1 = fk - k0
+              val (sub, ids) = inducedByBlock(g, part, lo)
+              val total = sub.totalNodeWeight
+              var t0 = math.ceil(total.toDouble * k0 / fk).toLong
+              if (total - t0 > k1 * lmax) t0 = total - k1 * lmax
+              if (t0 > k0 * lmax) t0 = k0 * lmax
+              val side = multilevelBisect(sub, t0, total - t0, k0 * lmax, k1 * lmax,
+                new Random(seed ^ (lo.toLong * 0x9e3779b97f4a7c15L) ^ (doublings.toLong << 32)))
+              var i = 0
+              while (i < sub.n) { if (side(i) == 1) part(ids(i)) = lo + k0; i += 1 }
+            } }),
+            Duration.Inf)
+        } finally pool.shutdown()
       }
-      groups = next.toList
-      if (Trace) println(s"  k'=${groups.size} afterBisect cut=${cut(g, part)}")
+      groups = groups.flatMap { case (lo, fk) =>
+        if (fk == 1) List((lo, 1))
+        else { val k0 = (fk + 1) / 2; List((lo, k0), (lo + k0, fk - k0)) }
+      }
+      if (Trace) println(s"  k'=${groups.size} afterBisect cut=${cut(g, part)} t=${(System.nanoTime() - traceT0) / 1e9}")
       // 3. refine at the new granularity under RELAXED caps (at tight eps every
       // block sits within a few units of its cap right after bisection and per-move
       // balance checks freeze FM/LP entirely — measured: 0 improving moves); step 1
@@ -191,7 +205,7 @@ object SeqPartitioner {
         groups.foreach { case (lo, fk) => capsLoose(lo) = fk * lmaxLoose }
         kwayFmRefine(g, part, k, capsLoose)
         kwayLpRefine(g, part, k, capsLoose, rand, rounds = 3)
-        if (Trace) println(s"  k'=${groups.size} afterRefine cut=${cut(g, part)}")
+        if (Trace) println(s"  k'=${groups.size} afterRefine cut=${cut(g, part)} t=${(System.nanoTime() - traceT0) / 1e9}")
       }
     }
     // doubling-capped (deep-MGP coarsest stage): tighten every group to its exact
@@ -211,18 +225,23 @@ object SeqPartitioner {
     val slack = math.max(2 * g.maxNodeWeight, lmax / 10)
     kwayFmRefine(g, part, k, capsFinal, slack)
     kwayLpRefine(g, part, k, capsFinal, rand, rounds = 3)
-    if (Trace) println(s"  tighten cut=${cut(g, part)} maxW=${blockWeights(g, part, k).max}")
+    if (Trace) println(s"  tighten cut=${cut(g, part)} maxW=${blockWeights(g, part, k).max} t=${(System.nanoTime() - traceT0) / 1e9}")
     var lastCut = Long.MaxValue
     var curCut = cut(g, part)
     var polishIters = 0
-    while (curCut < lastCut && polishIters < 5) {
+    // large coarse handoffs (the deep pipeline's IP stage — e.g. sf0.1 hands off
+    // ~12k nodes) take the LIGHT polish: the distributed JET/LP/pairFM levels above
+    // recover the quality, and each pairwise sweep is O(k^2) subgraph extractions
+    val maxPolish = if (g.n > 8192) 2 else 8
+    val pairSweeps = if (g.n > 8192) 4 else 8
+    while (curCut < lastCut && polishIters < maxPolish) {
       lastCut = curCut
-      pairwiseFmRefine(g, part, k, lmax)
+      pairwiseFmRefine(g, part, k, lmax, maxSweeps = pairSweeps)
       kwayFmRefine(g, part, k, capsFinal, slack)
       kwayLpRefine(g, part, k, capsFinal, rand, rounds = 2)
       curCut = cut(g, part)
       polishIters += 1
-      if (Trace) println(s"  polish#$polishIters cut=$curCut maxW=${blockWeights(g, part, k).max}")
+      if (Trace) println(s"  polish#$polishIters cut=$curCut maxW=${blockWeights(g, part, k).max} t=${(System.nanoTime() - traceT0) / 1e9}")
     }
     // feasibility backstop (slack-tolerant refinement can strand residual overload
     // when LP eviction finds no adjacent room), then one more pairwise polish
@@ -234,7 +253,7 @@ object SeqPartitioner {
     // V-cycle count scales down with size: on large coarse handoffs (inside the deep
     // pipeline) the distributed JET/LP levels above recover the quality, so one cycle
     // suffices; small driver-path graphs keep the full polish
-    vcycle(g, part, k, lmax, rand, cycles = if (g.n > 5000) 1 else 2)
+    vcycle(g, part, k, lmax, rand, cycles = if (g.n > 5000) 1 else 4)
     // last (so no later pass can re-empty a block): every block non-empty when n >= k
     fillEmptyBlocks(g, part, k, Array.fill(k)(lmax))
     groups
@@ -376,6 +395,9 @@ object SeqPartitioner {
           while (j < sub.n) { side(j) = if (part(ids(j)) == b) 1 else 0; j += 1 }
           val before = cut(sub, side)
           fmRefine(sub, side, lmax, lmax, slack = math.max(2 * sub.maxNodeWeight, lmax / 10))
+          // flow step (O21): min S-T cut through the border corridor — finds the
+          // non-local re-routings move-based FM cannot; rejects infeasible cuts
+          FlowRefine.refineRegion(sub, side, delta = 6, lmax, lmax)
           if (cut(sub, side) < before) {
             improvedSweep = true
             j = 0

@@ -88,10 +88,17 @@ object Similarity {
 
     val qk = keyed(queries, "qid", "qvec")
     val ck = keyed(corpus, "nid", "nvec")
-    val cand = qk.join(ck, Seq("t", "key"))
+    // dedupe candidate PAIRS on bare ids first, re-join the vectors after: a pair
+    // sharing buckets in several tables must not drag two d-dim arrays through the
+    // distinct's shuffle + exchange once per table (round-3 hygiene fix)
+    val candIds = qk.select(col("qid"), col("t"), col("key"))
+      .join(ck.select(col("nid"), col("t"), col("key")), Seq("t", "key"))
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), col("qvec"), col("nvec"))
+      .select(col("qid"), col("nid"))
       .distinct()
+    val cand = candIds
+      .join(queries.select(col("id").as("qid"), col("vec").as("qvec")), "qid")
+      .join(corpus.select(col("id").as("nid"), col("vec").as("nvec")), "nid")
     val wnd = Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("nid"))
     cand
       .select(col("qid"), col("nid"), round(cosine(col("qvec"), col("nvec")), 6).as("cos"))
@@ -106,16 +113,19 @@ object Similarity {
   def cosineNearDups(vectors: DataFrame, threshold: Double, planes: Int = 12, tables: Int = 4, seed: Long = 42L): DataFrame = {
     def keyed(df: DataFrame): DataFrame =
       df.select(
-        col("id"), col("vec"),
+        col("id"),
         explode(array((0 until tables).map(t =>
           struct(lit(t).as("t"), lshKey(col("vec"), t, planes, seed).as("key"))): _*)).as("bk")
-      ).select(col("id"), col("vec"), col("bk.t").as("t"), col("bk.key").as("key"))
+      ).select(col("id"), col("bk.t").as("t"), col("bk.key").as("key"))
+    // id-only pair dedup first, vectors re-joined after (same shape as annLsh)
     val kd = keyed(vectors)
     kd.as("x").join(kd.as("y"),
         col("x.t") === col("y.t") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"), col("x.vec").as("va"), col("y.vec").as("vb"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
+      .join(vectors.select(col("id").as("a"), col("vec").as("va")), "a")
+      .join(vectors.select(col("id").as("b"), col("vec").as("vb")), "b")
       .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }

@@ -120,6 +120,23 @@ object PlanAudit {
       else { failures += 1; println(s"FAIL dense_rank_distributed win=$globalWin single=$singles") }
     }
 
+    // 8. JET move admission (round-3 fix): proportional coin, NOT a per-target sort
+    // window — no WindowExec and no SortExec anywhere in the admission plan
+    {
+      import org.apache.spark.sql.execution.window.WindowExec
+      import org.apache.spark.sql.execution.SortExec
+      import spark.implicits._
+      val movers = Seq((1L, 0, 1L), (2L, 0, 1L), (3L, 1, 1L))
+        .toDF("src", "cand", "nw")
+      val allow = Seq((0, 5L), (1, 2L)).toDF("cand", "allow")
+      val plan = graft.partition.DistRefiner.admitProportional(movers, allow, 7L)
+        .queryExecution.executedPlan
+      val wins = plan.collectWithSubqueries { case w: WindowExec => w }
+      val sorts = plan.collectWithSubqueries { case s: SortExec => s }
+      if (wins.isEmpty && sorts.isEmpty) println("PASS jet_admission_no_sort_window")
+      else { failures += 1; println(s"FAIL jet_admission_no_sort_window win=$wins sort=$sorts") }
+    }
+
     println(if (failures == 0) "ALL PLAN CHECKS PASS" else s"$failures CHECKS FAILED")
     spark.stop()
     if (failures > 0) sys.exit(1)

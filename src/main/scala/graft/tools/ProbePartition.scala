@@ -15,6 +15,7 @@ object ProbePartition {
     val res = graft.partition.Partitioner(edges).setK(16).setEpsilon(0.03).setSeed(42L)
       .computePartition(spark)
     println(s"PARTITION ${(System.nanoTime()-t0)/1e9}s cut=${res.cut} imb=${res.imbalance} feasible=${res.feasible}")
+    println("STAGES " + res.stageTimes.map { case (k, v) => f"$k=$v%.1f" }.mkString(" "))
     spark.stop()
   }
 }

@@ -1,29 +1,31 @@
 package graft.tools
 
-import graft.graph.MetisIO
-import graft.partition.SeqPartitioner
+import org.apache.spark.sql.SparkSession
 
-/** Dev probe: driver-side cut-quality experiments on the Walshaw `data` fixture
-  * (n=2851, m=15093) at k=16, eps=0.03 — the reference's own e2e quality instance
-  * (`/root/reference/tests/endtoend/dist_endtoend_test.cc:133-138`; KaMinPar-typical
-  * cut ~750-800). No Spark session: pure sequential experimentation loop.
+/** Dev tool: Walshaw `data` k=16 eps=0.03 cut across seeds on both paths — the
+  * quality gauge the round verdicts grade (driver / forced-distributed).
   */
 object ProbeWalshaw {
   def main(args: Array[String]): Unit = {
-    val csr = MetisIO.readCsrFile(
-      args.headOption.getOrElse("src/test/resources/data.graph"))
-    val k = 16
-    val eps = 0.03
-    val perfect = math.ceil(csr.totalNodeWeight.toDouble / k).toLong
-    val lmax = math.max(((1.0 + eps) * perfect).toLong, perfect + csr.maxNodeWeight)
-    println(s"n=${csr.n} m=${csr.m} perfect=$perfect lmax=$lmax")
-    for (kk <- Seq(16); seed <- Seq(0L, 1L, 2L, 3L, 7L, 42L, 99L, 123L)) {
+    val seeds = if (args.nonEmpty) args(0).split(",").map(_.toLong).toSeq else Seq(0L, 1L, 2L, 3L)
+    val dist = args.length > 1 && args(1) == "dist"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.util.Log.enabled = false
+    val csr = graft.graph.MetisIO.readCsrResource("/data.graph")
+    val edges = graft.graph.MetisIO.readEdges(spark, csr)
+    val threshold = if (dist) 300L else 100000L
+    val cuts = seeds.map { s =>
       val t0 = System.nanoTime()
-      val r = SeqPartitioner.partitionKwayBest(csr, kk, eps, seed, attempts = 3)
-      val perfK = math.ceil(csr.totalNodeWeight.toDouble / kk).toLong
-      val lmaxK = math.max(((1.0 + eps) * perfK).toLong, perfK + csr.maxNodeWeight)
-      val bw = SeqPartitioner.blockWeights(csr, r.part, kk)
-      println(f"k=$kk%2d seed=$seed%3d cut=${r.cut}%6d feasible=${bw.max <= lmaxK} (${(System.nanoTime() - t0) / 1e9}%.1fs)")
+      val res = graft.partition.Partitioner(edges).setK(16).setEpsilon(0.03).setSeed(s)
+        .setDriverThreshold(threshold).computePartition(spark)
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"seed=$s cut=${res.cut} feasible=${res.feasible} imb=${res.imbalance}%.4f t=$t%.1fs")
+      res.cut
     }
+    println(s"${if (dist) "DIST" else "DRIVER"} cuts: min=${cuts.min} max=${cuts.max} avg=${cuts.sum / cuts.size}")
+    spark.stop()
   }
 }

@@ -24,6 +24,47 @@ class DistExtendSpec extends SparkFunSuite {
     }
   }
 
+  test("collect caps: batched driver bisection and distributed bisection agree on the contract") {
+    val s = spark
+    import s.implicits._
+    // two blocks of 200 nodes each (ring + chords inside each block)
+    val n = 400
+    val ring = (0 until n).map { i =>
+      val base = (i / 200) * 200
+      (i.toLong, (base + (i + 1) % 200).toLong)
+    }
+    val chords = (0 until n by 7).map { i =>
+      val base = (i / 200) * 200
+      (i.toLong, (base + (i + 101) % 200).toLong)
+    }
+    val edges = undirectedUnit((ring ++ chords).distinct.filter(e => e._1 != e._2))
+    val nodeW = (0L until n.toLong).map((_, 1L)).toDF("node", "weight")
+    val part0 = (0L until n.toLong).map(nn => (nn, if (nn < 200) 0 else 2)).toDF("node", "block")
+    val groups = List((0, 2), (2, 2))
+    val lmax = 110L
+
+    def contract(res: org.apache.spark.sql.DataFrame, label: String): Unit = {
+      val rows = res.collect().map(r => r.getLong(0) -> r.getAs[Number](1).intValue())
+      assert(rows.length === n, s"$label: nodes lost")
+      val byBlock = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      assert(byBlock.keySet === Set(0, 1, 2, 3), s"$label: blocks ${byBlock.keySet}")
+      byBlock.values.foreach(w => assert(w <= lmax, s"$label: side over cap ($byBlock)"))
+    }
+
+    // trip the PER-BLOCK cap: both 200-member blocks route to distributed bisection
+    contract(DistExtend.extendDoubling(
+      spark, edges, nodeW, part0, groups, perfect = 100L, lmax = lmax, seed = 5L,
+      perBlockCap = 100L), "distributed")
+    // trip the BATCH cap: blocks fit individually (cap 1000) but not together (250)
+    contract(DistExtend.extendDoubling(
+      spark, edges, nodeW, part0, groups, perfect = 100L, lmax = lmax, seed = 5L,
+      perBlockCap = 1000L, batchCap = 250L), "batched")
+    // default path for reference
+    contract(DistExtend.extendDoubling(
+      spark, edges, nodeW, part0, groups, perfect = 100L, lmax = lmax, seed = 5L),
+      "default")
+  }
+
   test("k=64 deep extension: feasible, within 1.2x of the straight-to-k cut") {
     val edges = SyntheticGraph.zipfEdges(spark, n = 30000L, avgDeg = 6, seed = 9L)
       .persist()

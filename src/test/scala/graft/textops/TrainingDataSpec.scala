@@ -143,14 +143,65 @@ class SimilaritySpec extends SparkFunSuite {
   }
 }
 
+class BpeSpec extends SparkFunSuite {
+  test("merge loop: hand-computed fixtures") {
+    // merges [(a,b),(ab,c)]: "abcabd" -> [a,b,c,a,b,d] -> [ab,c,ab,d] -> [abc,ab,d]
+    val m = Seq(("a", "b"), ("ab", "c"))
+    assert(Bpe.encodeWord("abcabd", m) === Seq("abc", "ab", "d"))
+    // priority: (a,b) outranks (b,c) even when both apply
+    val m2 = Seq(("a", "b"), ("b", "c"))
+    assert(Bpe.encodeWord("abc", m2) === Seq("ab", "c"))
+    assert(Bpe.encodeWord("bcd", m2) === Seq("bc", "d"))
+    // no applicable merges: pure character split; empty word: empty
+    assert(Bpe.encodeWord("xyz", m) === Seq("x", "y", "z"))
+    assert(Bpe.encodeWord("", m) === Seq.empty)
+    // default table: "the" collapses to one token (t+h -> th, th+e -> the)
+    assert(Bpe.encodeWord("the", Bpe.DefaultMerges) === Seq("the"))
+    assert(Bpe.encodeWord("that", Bpe.DefaultMerges) === Seq("that"))
+  }
+
+  test("bpeTokens over a documents table: exact counts, deterministic") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the cat"), // the=1, cat: c,at -> 2 (a+t merges) => 3
+      (2L, "that that"), // 1 + 1 = 2
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = Bpe.bpeTokens(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 1L + Bpe.encodeWord("cat", Bpe.DefaultMerges).length)
+    assert(out(2L) === 2L)
+    assert(out(3L) === 0L)
+    val again = Bpe.bpeTokens(docs.repartition(3)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === out)
+  }
+}
+
 class MediaPipelineSpec extends SparkFunSuite {
-  test("synthetic media + stubbed decode: deterministic typed pipeline, sane batch shape") {
+  test("synthetic media + decode: real image decode, deterministic typed pipeline") {
     val media = MediaPipeline.syntheticMedia(spark, 60)
     val feats = MediaPipeline.extractFeatures(media)
     val rows = feats.collect()
     assert(rows.length === 60)
-    assert(rows.forall(_.features.length == 16))
-    assert(rows.forall(f => math.abs(f.features.sum - 1.0) < 1e-9)) // normalized histogram
+    // image rows are REAL PNGs decoded by ImageIO: 48-dim per-channel histogram and
+    // decoded dimensions matching the generated metadata
+    val metaDims = media.collect().map(m => m.media_id -> (m.width, m.height)).toMap
+    val images = rows.filter(_.kind == "image")
+    assert(images.nonEmpty)
+    images.foreach { f =>
+      assert(f.features.length === 48, s"image ${f.media_id} not decoded")
+      assert((f.decoded_width, f.decoded_height) === metaDims(f.media_id),
+        s"decoded dims mismatch for ${f.media_id}")
+      // each channel's histogram sums to 1
+      Seq(0, 16, 32).foreach { off =>
+        assert(math.abs(f.features.slice(off, off + 16).sum - 1.0) < 1e-9)
+      }
+    }
+    // audio/video keep the 16-bin stub histogram
+    val rest = rows.filter(_.kind != "image")
+    assert(rest.forall(_.features.length == 16))
+    assert(rest.forall(f => math.abs(f.features.sum - 1.0) < 1e-9))
     assert(rows.filter(_.kind == "video").forall(_.frames_sampled >= 1))
     // determinism
     val again = MediaPipeline.extractFeatures(MediaPipeline.syntheticMedia(spark, 60))
