@@ -622,52 +622,70 @@ object DistRefiner {
           .collect()
           .map(r => (r.getLong(0), r.getAs[Number](1).intValue(), r.getAs[Number](2).intValue(), r.getLong(3)))
 
-        // 4. driver FM per pair + bulk apply
+        // 4. driver FM + flow per pair — pairs are INDEPENDENT (a matching: disjoint
+        // blocks, disjoint nodes), so they run on a local pool; this driver stage is
+        // the serial share of the E2E partition scaling, and parallelizing it keeps
+        // the Amdahl term bounded by the SLOWEST pair, not the sum
         val memByPid = members.groupBy(_._2)
         val edgByPid = internal.groupBy(_._4)
         val attByPid = attach.groupBy(_._2)
+        val pairResults: Seq[(Int, Long, Seq[(Long, Int, Int, Long)])] = {
+          import scala.concurrent.{Await, Future, ExecutionContext}
+          import scala.concurrent.duration.Duration
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.max(1, math.min(chosen.size, Runtime.getRuntime.availableProcessors())))
+          implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+          try {
+            Await.result(
+              Future.sequence(chosen.toList.zipWithIndex.map { case ((a, b), pid) => Future {
+                val mem = memByPid.getOrElse(pid, Array.empty).sortBy(_._1)
+                if (mem.length <= 1) (pid, 0L, Seq.empty[(Long, Int, Int, Long)])
+                else {
+                  val idOf = mem.iterator.map(_._1).zipWithIndex.toMap
+                  val vw = mem.map(_._4)
+                  val es = edgByPid.getOrElse(pid, Array.empty)
+                    .map(e => (idOf(e._1).toLong, idOf(e._2).toLong, e._3))
+                  val g = graft.model.CsrGraph.fromEdges(mem.length, es, vw)
+                  val side = mem.map(m => if (m._3 == b) 1 else 0)
+                  val ext0 = new Array[Long](mem.length)
+                  val ext1 = new Array[Long](mem.length)
+                  attByPid.getOrElse(pid, Array.empty).foreach { case (node, _, s, w) =>
+                    val i = idOf(node)
+                    if (s == 0) ext0(i) += w else ext1(i) += w
+                  }
+                  var regW0 = 0L; var regW1 = 0L
+                  var i = 0
+                  while (i < mem.length) {
+                    if (side(i) == 0) regW0 += vw(i) else regW1 += vw(i); i += 1
+                  }
+                  val fixed0 = blockW(a) - regW0
+                  val fixed1 = blockW(b) - regW1
+                  val delta = PairFm.refine(
+                    g, side, ext0, ext1, fixed0, fixed1,
+                    max0 = caps(a), max1 = caps(b))
+                  // flow step (O21) on the same region + attachments: the min-cut
+                  // re-routings FM's move discipline cannot reach
+                  val flowDelta = FlowRefine.kernel(
+                    g, side, ext0, ext1, fixed0, fixed1, caps(a), caps(b))
+                  val pairMoves = (0 until mem.length).flatMap { j =>
+                    val want = if (side(j) == 1) b else a
+                    if (want != mem(j)._3) Some((mem(j)._1, mem(j)._3, want, vw(j)))
+                    else None
+                  }
+                  (pid, delta + flowDelta, pairMoves)
+                }
+              } }),
+              Duration.Inf)
+          } finally pool.shutdown()
+        }
         val moves = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
         var totalDelta = 0L
-        for (((a, b), pid) <- chosen.zipWithIndex) {
-          val mem = memByPid.getOrElse(pid, Array.empty).sortBy(_._1)
-          if (mem.length > 1) {
-            val idOf = mem.iterator.map(_._1).zipWithIndex.toMap
-            val vw = mem.map(_._4)
-            val es = edgByPid.getOrElse(pid, Array.empty)
-              .map(e => (idOf(e._1).toLong, idOf(e._2).toLong, e._3))
-            val g = graft.model.CsrGraph.fromEdges(mem.length, es, vw)
-            val side = mem.map(m => if (m._3 == b) 1 else 0)
-            val ext0 = new Array[Long](mem.length)
-            val ext1 = new Array[Long](mem.length)
-            attByPid.getOrElse(pid, Array.empty).foreach { case (node, _, s, w) =>
-              val i = idOf(node)
-              if (s == 0) ext0(i) += w else ext1(i) += w
-            }
-            var regW0 = 0L; var regW1 = 0L
-            var i = 0
-            while (i < mem.length) {
-              if (side(i) == 0) regW0 += vw(i) else regW1 += vw(i); i += 1
-            }
-            val fixed0 = blockW(a) - regW0
-            val fixed1 = blockW(b) - regW1
-            val delta = PairFm.refine(
-              g, side, ext0, ext1, fixed0, fixed1,
-              max0 = caps(a), max1 = caps(b))
-            // flow step (O21) on the same region + attachments: the min-cut
-            // re-routings FM's move discipline cannot reach
-            val flowDelta = FlowRefine.kernel(
-              g, side, ext0, ext1, fixed0, fixed1, caps(a), caps(b))
-            totalDelta += delta + flowDelta
-            i = 0
-            while (i < mem.length) {
-              val want = if (side(i) == 1) b else a
-              if (want != mem(i)._3) {
-                moves += ((mem(i)._1, want))
-                blockW(mem(i)._3) -= vw(i)
-                blockW(want) += vw(i)
-              }
-              i += 1
-            }
+        pairResults.foreach { case (_, delta, pairMoves) =>
+          totalDelta += delta
+          pairMoves.foreach { case (node, from, to, w) =>
+            moves += ((node, to))
+            blockW(from) -= w
+            blockW(to) += w
           }
         }
         Log.info(s"pairFM round $round: pairs=${chosen.size} moves=${moves.size} cutDelta=$totalDelta")

@@ -11,8 +11,10 @@ object ProbePartition {
     spark.sparkContext.setLogLevel("ERROR")
     val edges = graft.graph.Graphs.bipartite(spark, sfDir).persist()
     edges.count()
+    val preset = sys.env.getOrElse("SPARK_GRAFT_PRESET", "default")
     val t0 = System.nanoTime()
     val res = graft.partition.Partitioner(edges).setK(16).setEpsilon(0.03).setSeed(42L)
+      .setPreset(preset)
       .computePartition(spark)
     println(s"PARTITION ${(System.nanoTime()-t0)/1e9}s cut=${res.cut} imb=${res.imbalance} feasible=${res.feasible}")
     println("STAGES " + res.stageTimes.map { case (k, v) => f"$k=$v%.1f" }.mkString(" "))
