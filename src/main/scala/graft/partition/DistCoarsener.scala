@@ -115,9 +115,10 @@ object DistCoarsener {
         .filter(col("runW") <= col("residual"))
         .select(col("node"), col("cand"))
 
-      // ONE heavy job per superstep: the staged checkpoint carries the moved flag, so
-      // the convergence count is a cheap scan of the checkpoint (the admitted plan is
-      // consumed exactly once — inside this write)
+      // ONE job per superstep: the staged checkpoint write IS the job, and the
+      // convergence count rides along as an observed metric (Observation attaches a
+      // global aggregate to the SAME execution — no second scan, no second barrier)
+      val obs = org.apache.spark.sql.Observation()
       val staged = Ckpt(
         labels
           .join(admitted, Seq("node"), "left")
@@ -126,11 +127,13 @@ object DistCoarsener {
             coalesce(col("cand"), col("label")).as("label"),
             col("weight"),
             col("cand").isNotNull.as("moved")
-          ),
+          )
+          .observe(obs, sum(when(col("moved"), 1L).otherwise(0L)).as("moves")),
         "lpc-labels"
       )
 
-      val moves = staged.filter(col("moved")).count()
+      val moves = obs.get.get("moves").flatMap(Option(_))
+        .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
       Log.info(s"lpCluster superstep $it: moves=$moves")
       quiet = if (moves == 0L) quiet + 1 else 0
       labels = staged.select(col("node"), col("label"), col("weight"))

@@ -336,6 +336,9 @@ object DistRefiner {
         .join(
           part.select(col("node").as("src"), col("block").as("cur"), col("weight").as("nw")),
           "src")
+      // the entering cut rides the checkpoint write as an observed metric (one job:
+      // the gather + write; no second scan for the aggregate)
+      val cutObs = org.apache.spark.sql.Observation()
       val perNode = Ckpt(
         ratings
           .withColumn("tb", xxhash64(col("nb"), lit(seed + r)))
@@ -356,11 +359,13 @@ object DistRefiner {
             col("bestS.nb").as("cand"),
             (col("bestS.rating") - col("internalW")).as("gain"),
             col("internalW"), col("extW")
-          ),
+          )
+          .observe(cutObs, coalesce(sum(col("extW")), lit(0L)).as("extSum")),
         "jet-pernode")
 
       // the cut of the partition ENTERING this round, free from the gather
-      val cutNow = perNode.agg(coalesce(sum(col("extW")), lit(0L))).first().getLong(0) / 2
+      val cutNow = cutObs.get.get("extSum").flatMap(Option(_))
+        .map(_.asInstanceOf[Number].longValue).getOrElse(0L) / 2
       val feasibleNow = Metrics.isBalanced(blockW, caps)
       consider(part, cutNow, feasibleNow)
       Log.info(s"jet round $r: c=$c enteringCut=$cutNow feasible=$feasibleNow")
