@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output passes straight through to stdout, UNPREFIXED — the bench
+// harness's JSON result line must be machine-parseable (an sbt [info] prefix breaks
+// the driver's parser; see Bench.scala, which also writes bench.json).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -91,7 +91,12 @@ object MediaPipeline {
     * histogram). Returns None when the payload is not a decodable image.
     */
   private def decodeImage(media: Array[Byte]): Option[(Int, Int, Array[Double])] = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
+    // ImageIO.read returns null for unrecognized formats but THROWS IOException on
+    // truncated/corrupt payloads — both must take the byte-histogram fallback, not
+    // fail the Spark task (a 100 TB crawl always carries some corrupt rows)
+    val img = scala.util.Try(
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
+    ).getOrElse(null)
     if (img == null) None
     else {
       val w = img.getWidth

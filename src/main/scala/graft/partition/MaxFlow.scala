@@ -49,22 +49,49 @@ final class Dinic(n: Int, arcCapacity: Int) {
     level(t) >= 0
   }
 
-  private def dfs(u: Int, t: Int, f: Long): Long = {
-    if (u == t) return f
-    var res = 0L
-    var e = it(u)
-    while (e >= 0 && res < f) {
-      if (cap(e) > 0 && level(to(e)) == level(u) + 1) {
-        val d = dfs(to(e), t, math.min(f - res, cap(e)))
-        if (d > 0) {
-          cap(e) -= d
-          cap(e ^ 1) += d
-          res += d
-        } else level(to(e)) = -1 // dead end
+  // explicit path stack for the blocking-flow walk: pathArc(i) = arc from path node i
+  // to path node i+1. Iterative on purpose — regions reach regionCap (200k) nodes and
+  // the walk depth is bounded only by the level of t, so a recursive dfs on a
+  // long-corridor region would overflow default thread stacks (pairwiseFmDist runs
+  // the kernel on pooled driver threads).
+  private val pathArc = new Array[Int](n + 1)
+  private val pathNode = new Array[Int](n + 1)
+
+  /** One augmenting path along level-increasing residual arcs (advance/retreat with
+    * the shared `it` pointers — Dinic's blocking-flow step). Returns the pushed flow,
+    * 0 when the level graph is exhausted.
+    */
+  private def augment(s: Int, t: Int): Long = {
+    var top = 0
+    pathNode(0) = s
+    var u = s
+    while (true) {
+      if (u == t) {
+        var f = Long.MaxValue
+        var i = 0
+        while (i < top) { if (cap(pathArc(i)) < f) f = cap(pathArc(i)); i += 1 }
+        i = 0
+        while (i < top) { cap(pathArc(i)) -= f; cap(pathArc(i) ^ 1) += f; i += 1 }
+        return f
       }
-      if (res < f) { e = nxt(e); it(u) = e }
+      // advance: next residual arc one level down (it(u) persists across walks)
+      var e = it(u)
+      while (e >= 0 && !(cap(e) > 0 && level(to(e)) == level(u) + 1)) {
+        e = nxt(e); it(u) = e
+      }
+      if (e >= 0) {
+        pathArc(top) = e
+        top += 1
+        u = to(e)
+        pathNode(top) = u
+      } else {
+        level(u) = -1 // dead end: prune from the level graph
+        if (top == 0) return 0L
+        top -= 1
+        u = pathNode(top)
+      }
     }
-    res
+    0L // unreachable
   }
 
   def maxflow(s: Int, t: Int): Long = {
@@ -72,8 +99,8 @@ final class Dinic(n: Int, arcCapacity: Int) {
     while (bfs(s, t)) {
       var u = 0
       while (u < n) { it(u) = head(u); u += 1 }
-      var f = dfs(s, t, Long.MaxValue)
-      while (f > 0) { flow += f; f = dfs(s, t, Long.MaxValue) }
+      var f = augment(s, t)
+      while (f > 0) { flow += f; f = augment(s, t) }
     }
     flow
   }

@@ -254,7 +254,14 @@ object SeqPartitioner {
     // pipeline) the distributed JET/LP levels above recover the quality, so one cycle
     // suffices; small driver-path graphs keep the full polish
     vcycle(g, part, k, lmax, rand, cycles = if (g.n > 5000) 1 else 4)
-    // last (so no later pass can re-empty a block): every block non-empty when n >= k
+    // last (so no later pass can re-empty a block): every block non-empty when n >= k.
+    // Full-lmax caps are correct ONLY because this point is reached exclusively at
+    // full k (all groups fk == 1 — the doubling-capped deep-MGP path returned above);
+    // in that path the distributed chain owns the full-k contract via
+    // fillEmptyBlocksDist, and seeding reserved (zero-cap) group blocks here would
+    // corrupt it. The guard makes the invariant explicit.
+    assert(groups.forall(_._2 == 1),
+      "fillEmptyBlocks must only run at full k (capped extension returns earlier)")
     fillEmptyBlocks(g, part, k, Array.fill(k)(lmax))
     groups
   }

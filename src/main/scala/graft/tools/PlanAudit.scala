@@ -137,6 +137,27 @@ object PlanAudit {
       else { failures += 1; println(s"FAIL jet_admission_no_sort_window win=$wins sort=$sorts") }
     }
 
+    // 9. LP-clustering move admission + per-cluster rollback (round-4 fix): the
+    // coarsening superstep must carry NO per-target-cluster sort window either —
+    // admission is the proportional coin (shared with JET, check 8) and the rollback
+    // is a gross-inflow aggregate + join. A viral page's label can attract ~n movers;
+    // any WindowExec/SortExec here would serialize them into one task.
+    {
+      import org.apache.spark.sql.execution.window.WindowExec
+      import org.apache.spark.sql.execution.SortExec
+      import spark.implicits._
+      val staged = Seq(
+        (1L, 10L, 1L, Option(20L)), (2L, 20L, 1L, Option(10L)), (3L, 10L, 1L, Option.empty[Long]))
+        .toDF("node", "label", "weight", "cand")
+      val capacity = Seq((10L, 5L), (20L, 0L)).toDF("cand", "allow")
+      val plan = graft.partition.DistCoarsener.commitWithRollback(staged, capacity)
+        .queryExecution.executedPlan
+      val wins = plan.collectWithSubqueries { case w: WindowExec => w }
+      val sorts = plan.collectWithSubqueries { case s: SortExec => s }
+      if (wins.isEmpty && sorts.isEmpty) println("PASS cluster_commit_no_sort_window")
+      else { failures += 1; println(s"FAIL cluster_commit_no_sort_window win=$wins sort=$sorts") }
+    }
+
     println(if (failures == 0) "ALL PLAN CHECKS PASS" else s"$failures CHECKS FAILED")
     spark.stop()
     if (failures > 0) sys.exit(1)
