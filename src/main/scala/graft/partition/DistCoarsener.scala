@@ -143,6 +143,45 @@ object DistCoarsener {
     labels.select(col("node"), col("label"))
   }
 
+  /** Isolated-node pair chaining (SURVEY O4, reference `label_propagation.h:884-917`):
+    * degree-0 nodes never move through edge gathers, so plain LP leaves one singleton
+    * coarse node per isolated node and the hierarchy never shrinks them; the
+    * reference chains them pairwise instead. Distributed shape: hash the isolated
+    * nodes into ~4k-row buckets and row_number INSIDE each bucket (the window
+    * partitions by bucket — no global sort, bounded partitions at any scale), pair
+    * adjacent ranks, and keep only pairs whose combined weight fits the cap
+    * (over-cap pairs stay singletons). New label = smaller node id of the pair.
+    * Deterministic and partition-independent (seeded hashes only).
+    */
+  def chainIsolated(
+      spark: SparkSession,
+      clustering: DataFrame, // (node, label)
+      nodeW: DataFrame, // (node, weight)
+      edges: DataFrame, // symmetric (src, dst, w)
+      cap: Long,
+      seed: Long
+  ): DataFrame = {
+    val isolated = nodeW.join(edges.select(col("src").as("node")), Seq("node"), "left_anti")
+    val cnt = isolated.count()
+    if (cnt < 2) return clustering
+    val nBuckets = math.max(1L, cnt / 4096L)
+    val wnd = Window.partitionBy(col("bkt")).orderBy(asc("h"), asc("node"))
+    val ranked = isolated
+      .withColumn("h", xxhash64(col("node"), lit(seed)))
+      .withColumn("bkt", pmod(col("h"), lit(nBuckets)))
+      .withColumn("rn", row_number().over(wnd))
+      .withColumn("pair", floor((col("rn") - 1) / 2))
+    val pairs = ranked.groupBy(col("bkt"), col("pair"))
+      .agg(min(col("node")).as("plabel"), sum(col("weight")).as("pw"), count(lit(1)).as("c"))
+      .filter(col("c") === 2 && col("pw") <= cap)
+      .select(col("bkt"), col("pair"), col("plabel"))
+    val merged = ranked.join(pairs, Seq("bkt", "pair"))
+      .select(col("node"), col("plabel"))
+    clustering
+      .join(merged, Seq("node"), "left")
+      .select(col("node"), coalesce(col("plabel"), col("label")).as("label"))
+  }
+
   /** Per-cluster rollback commit (the second half of the O23 protocol): given the
     * staged superstep table (node, label, weight, cand nullable) and per-target
     * capacities (cand, allow), drop the moves of every target cluster whose admitted
@@ -406,8 +445,14 @@ object DistCoarsener {
           // (reference EPSILON_BLOCK_WEIGHT, `coarsening/max_cluster_weights.h:17-46`)
           val divisor = math.min(math.max(n / C, 2L), k.toLong)
           val cap = math.max(1L, (eps * totalW / divisor).toLong)
-          val clustering = lpCluster(spark, edges, nodeW, cap, maxIter = 5,
-            seed = seed + levels.length, hubDegThreshold = hubDegThreshold)
+          // O4 ride-along: chain isolated nodes pairwise under the same cap — LP
+          // cannot shrink them, so without this an isolated-heavy graph (dangling
+          // URLs are ~half a crawl's vertex set) never coarsens its singleton tail.
+          // Across levels the pairs re-chain into 4s, 8s, ... until the cap binds.
+          val clustering = chainIsolated(spark,
+            lpCluster(spark, edges, nodeW, cap, maxIter = 5,
+              seed = seed + levels.length, hubDegThreshold = hubDegThreshold),
+            nodeW, edges, cap, seed + 977L * (levels.length + 1))
           var level = contract(edges, nodeW, clustering)
           var ce = Ckpt(level.coarseEdges, "cedges")
           var cw = Ckpt(level.coarseNodeW, "cnodew")

@@ -324,7 +324,12 @@ object DistRefiner {
     var firstFeasible = false
     var exited = false
     while (r < rounds && !exited) {
-      val c = 0.75 * (rounds - 1 - r).toDouble / math.max(1, rounds - 1) // anneal to 0
+      // anneal the negative-gain tolerance to 0 over a FIXED span (3 rounds): extra
+      // rounds beyond the span run at c = 0 (conservative), so a larger `rounds`
+      // (the strong preset) replays the default schedule exactly and then appends —
+      // with best-snapshot keeping, more rounds can never end worse than fewer
+      val annealSpan = math.min(rounds, 3)
+      val c = 0.75 * math.max(0, annealSpan - 1 - r).toDouble / math.max(1, annealSpan - 1)
 
       // phase 1: ONE gather pass -> per-node table with internal/external weight and
       // the best external block; checkpointed so the cut aggregate and the tentative

@@ -36,8 +36,9 @@ final class Partitioner private (
   def setK(k: Int) = copy(k = k)
   def setEpsilon(e: Double) = copy(epsilon = e)
 
-  /** Select a preset (reference ladder, `apps/KaMinPar.cc:93-99`): `default`,
-    * `fast` (skip JET + polish), `largek` (earlier/smaller deep extension).
+  /** Select a preset (reference ladder, `apps/KaMinPar.cc:93-99`): `fast` (skip
+    * JET/polish/pairFM), `default`, `eco` (deeper pairwise-FM/flow), `strong`
+    * (eco + more JET/polish), `largek` (earlier/smaller deep extension).
     * Sets the refinement iteration count too; a later `setRefineIters` overrides.
     */
   def setPreset(p: Preset) = copy(preset = p, refineIters = p.refineIters)
@@ -303,7 +304,8 @@ final class Partitioner private (
       if (preset.pairFmRounds > 0) {
         val (pf, pfW) = timed("pairfm") { DistRefiner.pairwiseFmDist(
           spark, fe, fineNodeW, partW, k, caps, polishW.clone(),
-          rounds = preset.pairFmRounds, seed = seed + 5000 + levelNo, weighted = true) }
+          rounds = preset.pairFmRounds, radius = preset.pairFmRadius,
+          seed = seed + 5000 + levelNo, weighted = true) }
         partW = pf
         System.arraycopy(pfW, 0, polishW, 0, k)
       }

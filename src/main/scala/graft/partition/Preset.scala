@@ -3,18 +3,21 @@ package graft.partition
 /** Preset ladder (reference `apps/KaMinPar.cc:93-99` ships fast/default/eco/strong/
   * largek; `presets.cc` maps them to refinement chains). The engine's equivalents:
   *
+  *  - `fast`: skip JET, polish and pairwise FM, 3 refinement supersteps — the "one
+  *    cheap pass per level" configuration for latency-bound runs (reference `fast`
+  *    skips its k-way FM the same way).
   *  - `default`: the chain every test and bench exercises — 5 LP refinement
   *    supersteps, 3 JET rounds (early-exit), 3 polish supersteps, 2 pairwise-FM
-  *    rounds per level.
-  *  - `fast`: skip JET and the polish, 3 refinement supersteps — the "one cheap
-  *    pass per level" configuration for latency-bound runs (reference `fast` skips
-  *    its k-way FM the same way).
+  *    rounds per level at BFS radius 2.
+  *  - `eco`: default + a deeper pairwise-FM/flow stage (3 rounds, radius 3) — more
+  *    of the quotient graph refined per level at modest extra cost (the reference's
+  *    `eco` buys quality through extra FM effort the same way).
+  *  - `strong`: eco + 5 JET rounds and 5 polish supersteps — the full-effort rung
+  *    (reference `strong` = eco + more refinement iterations).
   *  - `largek`: extension thresholds tuned for k in the thousands — deep-MGP
   *    extension starts at k >= 16 and targets smaller (128-node) intermediate
   *    blocks, so more of the k-growth happens distributed during uncoarsening
   *    (the reference's `largek` preset role).
-  *
-  * `eco`/`strong` are out of scope with the flow refiner (SURVEY O21).
   */
 final case class Preset(
     name: String,
@@ -23,19 +26,29 @@ final case class Preset(
     polishIters: Int,
     pairFmRounds: Int,
     extendMinK: Int,
-    extendCExt: Long
+    extendCExt: Long,
+    /** BFS radius of the pairwise-FM border regions (deeper = larger driver
+      * regions = more non-local swaps found, at more collect cost).
+      */
+    pairFmRadius: Int = 2
 )
 
 object Preset {
   val Default: Preset = Preset("default", 5, 3, 3, 2, DistExtend.MinExtendK, DistExtend.CExt)
   val Fast: Preset = Preset("fast", 3, 0, 0, 0, DistExtend.MinExtendK, DistExtend.CExt)
+  val Eco: Preset =
+    Preset("eco", 5, 3, 3, 3, DistExtend.MinExtendK, DistExtend.CExt, pairFmRadius = 3)
+  val Strong: Preset =
+    Preset("strong", 5, 5, 5, 3, DistExtend.MinExtendK, DistExtend.CExt, pairFmRadius = 3)
   val LargeK: Preset = Preset("largek", 5, 2, 3, 1, 16, 128L)
 
   def byName(name: String): Preset = name match {
     case "default" => Default
     case "fast" => Fast
+    case "eco" => Eco
+    case "strong" => Strong
     case "largek" => LargeK
     case other => throw new IllegalArgumentException(
-      s"unknown preset '$other' (available: default, fast, largek)")
+      s"unknown preset '$other' (available: fast, default, eco, strong, largek)")
   }
 }

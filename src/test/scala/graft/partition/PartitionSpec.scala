@@ -236,6 +236,25 @@ class PresetSpec extends SparkFunSuite {
     assert(default.iterMetrics.exists(m => m.cut > 0))
   }
 
+  test("eco/strong presets: feasible, cut never worse than default (Walshaw dist path)") {
+    // measured (ProbePresets, seeds 0/1): fast 1349/1422, default 1234/1292,
+    // eco 1234/1292, strong 1218/1280 — the ladder is monotone on this instance
+    // (strong's extra JET rounds append at c=0 after the default schedule, so its
+    // trajectory is a superset; eco/strong's deeper pairFM regions never worsen)
+    val csr = graft.graph.MetisIO.readCsrResource("/data.graph")
+    val edges = graft.graph.MetisIO.readEdges(spark, csr)
+    def run(p: String) = Partitioner(edges).setK(16).setEpsilon(0.03).setSeed(0L)
+      .setDriverThreshold(300L).setPreset(p).computePartition(spark)
+    val default = run("default")
+    val eco = run("eco")
+    val strong = run("strong")
+    assert(default.feasible && eco.feasible && strong.feasible)
+    assert(eco.cut <= default.cut,
+      s"eco cut ${eco.cut} must not exceed default ${default.cut}")
+    assert(strong.cut <= default.cut,
+      s"strong cut ${strong.cut} must not exceed default ${default.cut}")
+  }
+
   test("largek preset: k=64 on rgg2d via the distributed path") {
     val csr = graft.graph.MetisIO.readCsrResource("/rgg2d.metis")
     val s = spark
@@ -379,6 +398,55 @@ class UnderloadBalancerSpec extends SparkFunSuite {
       assert(res.minFeasible,
         s"threshold=$threshold under-min (lmin=${res.ctx.minBlockWeight}): ${res.blockWeights.mkString(",")}")
     }
+  }
+}
+
+/** O4 isolated-node pair chaining (reference `label_propagation.h:884-917`): LP
+  * cannot shrink degree-0 nodes, so coarsening chains them pairwise under the
+  * cluster weight cap — closing the oldest SURVEY partial.
+  */
+class IsolatedChainSpec extends SparkFunSuite {
+  test("isolated nodes pair up; weight cap respected; heavy nodes stay singletons") {
+    val s = spark
+    import s.implicits._
+    val edges = undirectedUnit(Seq((100L, 101L)))
+    // 10 unit-weight isolated nodes + one heavy (weight 5) isolated node
+    val nodeW = ((0L to 9L).map((_, 1L)) ++ Seq((10L, 5L), (100L, 1L), (101L, 1L)))
+      .toDF("node", "weight")
+    val clustering = nodeW.select(col("node"), col("node").as("label"))
+    val out = DistCoarsener.chainIsolated(spark, clustering, nodeW, edges, cap = 2L, seed = 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // connected nodes untouched
+    assert(out(100L) === 100L && out(101L) === 101L)
+    // cluster weights never exceed the cap
+    val wByNode = ((0L to 9L).map(n => n -> 1L) ++ Seq(10L -> 5L, 100L -> 1L, 101L -> 1L)).toMap
+    val cw = out.groupBy(_._2).view.mapValues(_.keys.map(wByNode).sum).toMap
+    assert(cw.values.forall(_ <= 5L), s"cluster weights $cw")
+    assert(cw.filter(_._2 > 2L).keySet.subsetOf(Set(10L)), s"only the heavy singleton may exceed: $cw")
+    // chains are PAIRS (never triples), and most unit isolated nodes actually paired
+    val unitSizes = (0L to 9L).map(out).groupBy(identity).view.mapValues(_.size).toMap
+    assert(unitSizes.values.forall(_ <= 2), s"chained more than a pair: $out")
+    val paired = unitSizes.values.filter(_ == 2).sum
+    assert(paired >= 8, s"expected >=4 pairs among 10 isolated unit nodes, got map $out")
+    // determinism under repartition
+    val again = DistCoarsener.chainIsolated(
+      spark, clustering.repartition(7), nodeW.repartition(5), edges, cap = 2L, seed = 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === out)
+  }
+
+  test("partition of an isolated-heavy graph is feasible and loses no nodes") {
+    val s = spark
+    import s.implicits._
+    // ring of 20 connected nodes + 44 isolated nodes, k=4
+    val edges = undirectedUnit((0 until 20).map(i => (i.toLong, ((i + 1) % 20).toLong)))
+    val vertices = (0L until 64L).map((_, 1L)).toDF("node", "weight")
+    val res = Partitioner(edges).setK(4).setEpsilon(0.05).setSeed(9L)
+      .setNodeWeights(vertices).setDriverThreshold(30L).computePartition(spark)
+    assert(res.feasible, s"blockW=${res.blockWeights.mkString(",")} lmax=${res.ctx.maxBlockWeight}")
+    assert(res.assignment.count() === 64L)
+    assert(res.assignment.select(col("node")).distinct().count() === 64L)
+    assert(res.blockWeights.sum === 64L)
   }
 }
 
