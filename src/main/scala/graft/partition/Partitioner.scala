@@ -349,6 +349,40 @@ final class Partitioner private (
       lastBlockW = None // tracked weights predate the extension — force recompute
     }
 
+    // distributed V-cycles (SURVEY O16 vcycle scheme, round-4 headline): re-coarsen
+    // restricted to same-block merges, re-search the coarse graph at full k on the
+    // driver, project + polish — the escape hatch for the fine-level structural
+    // minima the move-based chain cannot leave. Runs only on the distributed path
+    // (the driver path has its own vcycle inside SeqPartitioner); a fruitless cycle
+    // (no strict coarse improvement) skips the polish entirely.
+    if (levels.nonEmpty && preset.vcycles > 0) {
+      var anyImproved = false
+      var cyc = 0
+      while (cyc < preset.vcycles) {
+        val improved = timed("vcycle") {
+          VCycle.improveOnce(spark, e, nodeW, part, ctx, targetN,
+            Partitioner.DriverEdgeCap, seed + 7000L + 131L * cyc, cycle = cyc)
+        }
+        improved.foreach { cr =>
+          part = cr.part
+          lastBlockW = Some(cr.blockWeights)
+          anyImproved = true
+        }
+        cyc += 1
+      }
+      // a fresh coarse re-partition only enforces Lmax; restore Lmin when min
+      // block weights are configured (the per-level O18 runs predate the vcycle)
+      if (anyImproved && ctx.hasMinBlockWeights) {
+        val feU = e.repartition(col("dst")).persist()
+        val (pulled, ubW) = DistRefiner.underloadBalance(
+          spark, feU, nodeW, part, k, ctx.minBlockWeight, ctx.maxBlockWeight,
+          seed = seed + 7900L, blockW0 = lastBlockW.map(_.clone()))
+        part = pulled
+        lastBlockW = Some(ubW)
+        feU.unpersist()
+      }
+    }
+
     // pure driver path (no coarsening levels): the underload balancer still runs when
     // min block weights are configured — the seq partitioner only enforces Lmax
     if (levels.isEmpty && ctx.hasMinBlockWeights) {

@@ -30,16 +30,25 @@ final case class Preset(
     /** BFS radius of the pairwise-FM border regions (deeper = larger driver
       * regions = more non-local swaps found, at more collect cost).
       */
-    pairFmRadius: Int = 2
+    pairFmRadius: Int = 2,
+    /** Distributed V-cycles after uncoarsening (O16 vcycle scheme): same-block
+      * restricted re-coarsening + driver full-k re-search + refine-on-the-way-down —
+      * the escape hatch for fine-level structural minima. 0 for fast/default
+      * (matching the reference, whose default preset does not V-cycle either —
+      * vcycling is its separate quality mode); the eco/strong rungs pay for it.
+      */
+    vcycles: Int = 0
 )
 
 object Preset {
   val Default: Preset = Preset("default", 5, 3, 3, 2, DistExtend.MinExtendK, DistExtend.CExt)
   val Fast: Preset = Preset("fast", 3, 0, 0, 0, DistExtend.MinExtendK, DistExtend.CExt)
   val Eco: Preset =
-    Preset("eco", 5, 3, 3, 3, DistExtend.MinExtendK, DistExtend.CExt, pairFmRadius = 3)
+    Preset("eco", 5, 3, 3, 3, DistExtend.MinExtendK, DistExtend.CExt, pairFmRadius = 3,
+      vcycles = 1)
   val Strong: Preset =
-    Preset("strong", 5, 5, 5, 3, DistExtend.MinExtendK, DistExtend.CExt, pairFmRadius = 3)
+    Preset("strong", 5, 5, 5, 3, DistExtend.MinExtendK, DistExtend.CExt, pairFmRadius = 3,
+      vcycles = 3)
   val LargeK: Preset = Preset("largek", 5, 2, 3, 1, 16, 128L)
 
   def byName(name: String): Preset = name match {

@@ -21,9 +21,16 @@ object ProbePresets {
     val csr = MetisIO.readCsrResource("/data.graph")
     val edges = MetisIO.readEdges(spark, csr)
     for (seed <- seeds; p <- presets) {
+      // "name@N" overrides the preset's vcycle count (escape-depth experiments)
+      val (pname, vcOverride) = p.split("@") match {
+        case Array(a, b) => (a, Some(b.toInt))
+        case _ => (p, None)
+      }
+      val preset0 = graft.partition.Preset.byName(pname)
+      val preset = vcOverride.map(v => preset0.copy(vcycles = v)).getOrElse(preset0)
       val t0 = System.nanoTime()
       val res = Partitioner(edges).setK(16).setEpsilon(0.03).setSeed(seed)
-        .setDriverThreshold(300L).setPreset(p).computePartition(spark)
+        .setDriverThreshold(300L).setPreset(preset).computePartition(spark)
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[preset] seed=$seed preset=$p%-8s cut=${res.cut} feasible=${res.feasible} time=$sec%.1fs")
     }

@@ -63,10 +63,12 @@ class WalshawQualitySpec extends SparkFunSuite {
     val edges = MetisIO.readEdges(spark, csr)
     val res = Partitioner(edges).setK(16).setEpsilon(0.03).setSeed(0L)
       .setDriverThreshold(300L).computePartition(spark)
-    // round-3 bar (measured 1200-1296 over 4 seeds with distributed pairwise
-    // FM + flow; round 2: ~1219 single-seed; round 1: 1335-1403); 2000 = the
-    // reference's own bound
-    assert(res.cut <= 1330L, s"dist cut ${res.cut} exceeds the round-3 quality bar")
+    // round-4 bar (verdict item #1): seed 0 measures 1234 on the default preset;
+    // the seed-dependent tail (1378 outlier at seed 5) is closed by the V-cycle in
+    // the eco/strong rungs (see PresetSpec + BASELINE.md 8-seed probes). Round 3:
+    // 1218-1378 spread; round 2: ~1219 single-seed; round 1: 1335-1403; 2000 = the
+    // reference's own bound.
+    assert(res.cut <= 1250L, s"dist cut ${res.cut} exceeds the round-4 quality bar")
     assert(res.cut <= 2000L, s"dist cut ${res.cut}")
     assert(res.feasible, s"dist imbalance ${res.imbalance}")
     // per-iteration metrics (M6): refinement + JET supersteps recorded per level
@@ -237,10 +239,11 @@ class PresetSpec extends SparkFunSuite {
   }
 
   test("eco/strong presets: feasible, cut never worse than default (Walshaw dist path)") {
-    // measured (ProbePresets, seeds 0/1): fast 1349/1422, default 1234/1292,
-    // eco 1234/1292, strong 1218/1280 — the ladder is monotone on this instance
-    // (strong's extra JET rounds append at c=0 after the default schedule, so its
-    // trajectory is a superset; eco/strong's deeper pairFM regions never worsen)
+    // measured (ProbePresets, seed 0): fast 1349, default 1234, eco/strong at or
+    // below default — the ladder is monotone on this instance (strong's extra JET
+    // rounds append at c=0 after the default schedule, so its trajectory is a
+    // superset; eco/strong's deeper pairFM regions and V-cycles never worsen:
+    // every cycle keeps its winner only on strict coarse improvement)
     val csr = graft.graph.MetisIO.readCsrResource("/data.graph")
     val edges = graft.graph.MetisIO.readEdges(spark, csr)
     def run(p: String) = Partitioner(edges).setK(16).setEpsilon(0.03).setSeed(0L)
