@@ -116,26 +116,38 @@ object DistCoarsener {
         movers.withColumnRenamed("node", "src"), capacity, seed + it)
 
       // job 1 (the heavy one — ends the gather): stage (old label, weight, tentative
-      // cand) in ONE checkpoint; the tentative-move count rides the same execution as
-      // an observed metric (no second scan, no second barrier)
+      // cand) in ONE checkpoint; the tentative-move count AND the admission
+      // contention (max D - allow over admitted rows) ride the same execution as
+      // observed metrics (no second scan, no second barrier)
       val obs = org.apache.spark.sql.Observation()
       val staged = Ckpt(
         labels
           .join(tentative, Seq("node"), "left")
-          .select(col("node"), col("label"), col("weight"), col("cand"))
-          .observe(obs, sum(when(col("cand").isNotNull, 1L).otherwise(0L)).as("moves")),
+          .observe(obs,
+            sum(when(col("cand").isNotNull, 1L).otherwise(0L)).as("moves"),
+            max(when(col("cand").isNotNull, col("D") - col("allow"))
+              .otherwise(Long.MinValue)).as("contention"))
+          .select(col("node"), col("label"), col("weight"), col("cand")),
         "lpc-staged"
       )
 
-      // job 2 (cheap: scans of the n-row staged parquet — no edge gather): clusters
-      // whose admitted gross inflow exceeds their residual roll back ALL their moves
-      // this round, so the weight cap holds exactly at every superstep end; the
-      // surviving labels commit as the next round's checkpoint
-      labels = Ckpt(commitWithRollback(staged, capacity), "lpc-labels")
-
-      val moves = obs.get.get("moves").flatMap(Option(_))
+      val metrics = obs.get
+      val moves = metrics.get("moves").flatMap(Option(_))
         .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
-      Log.info(s"lpCluster superstep $it: tentativeMoves=$moves")
+      val contention = metrics.get("contention").flatMap(Option(_))
+        .map(_.asInstanceOf[Number].longValue).getOrElse(Long.MinValue)
+      // per-cluster rollback (job 2) only when some target was OVERSUBSCRIBED
+      // (D > allow somewhere): otherwise every coin ran at p = 1 and the admitted
+      // inflow provably fits, so the commit is a free projection of the staged
+      // parquet — the common case after the first supersteps, saving a checkpoint
+      // write per quiet superstep
+      labels =
+        if (contention <= 0L)
+          staged.select(
+            col("node"), coalesce(col("cand"), col("label")).as("label"), col("weight"))
+        else
+          Ckpt(commitWithRollback(staged, capacity), "lpc-labels")
+      Log.info(s"lpCluster superstep $it: tentativeMoves=$moves contention=$contention")
       quiet = if (moves == 0L) quiet + 1 else 0
       it += 1
     }

@@ -509,7 +509,10 @@ object DistRefiner {
         "coin",
         pmod(xxhash64(col("src"), lit(seed), lit(77L)), lit(1000000000L)).cast("double") / 1e9)
       .filter(col("coin") < col("p"))
-      .select(col("src").as("node"), col("cand"))
+      // (D, allow) ride along so callers can OBSERVE contention on their staging
+      // write (D > allow somewhere = a rollback check is needed); explicit selects
+      // downstream drop them
+      .select(col("src").as("node"), col("cand"), col("D"), col("allow"))
   }
 
   /** Distributed pairwise 2-way FM (round-3 judge fix #3 — the last ~5% of cut
