@@ -1,8 +1,7 @@
 package graft.partition
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.util.{Ckpt, Log}
 
 /** Distributed balanced refinement — the uncoarsening half of the partitioner.
@@ -853,38 +852,37 @@ object DistRefiner {
           .join(internal, Seq("src"), "left")
           .withColumn("gain", col("rating") - coalesce(col("internalW"), lit(0L)))
           .withColumn("hb", xxhash64(col("nb"), lit(seed)))
-        val top3 = ranked
-          .withColumn(
-            "trk",
-            row_number().over(
-              Window.partitionBy(col("src")).orderBy(desc("gain"), asc("hb"), asc("nb"))))
-          .filter(col("trk") <= 3)
-
-        // eviction prefix per overloaded block: enough best-relative-gain members to
-        // cover ~2x the overload (slack for targets that fill up), capped so the
-        // driver collect stays bounded at any scale — leftover overload just runs
-        // another (rare) gather round
-        val wnd = Window.partitionBy(col("cur"))
-          .orderBy(desc("relGain"), asc("h"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val overloadDf = broadcast(
-          overloaded.map(b => b -> (blockW(b) - caps(b))).toDF("cur", "overload"))
-        val prefix = top3
+        // per-member candidate summary in ONE aggregation (no per-src window): this
+        // member's top-3 external targets by (gain desc, hb asc, nb asc), best
+        // first — an array_sort comparator inside the agg replaces row_number; a
+        // hub member adjacent to many blocks costs bytes in one agg buffer, never a
+        // sorted task
+        val perSrc = ranked
           .groupBy(col("src"), col("cur"), col("nw"))
-          .agg(collect_list(struct(col("trk"), col("nb"), col("gain"))).as("cands"),
-            max(col("gain")).as("bestGain"))
-          .withColumn("relGain", col("bestGain").cast("double") / col("nw"))
+          .agg(collect_list(struct(col("gain"), col("hb"), col("nb"))).as("alls"))
+          .withColumn("cands", expr(
+            "slice(array_sort(alls, (a, b) -> CASE " +
+              "WHEN a.gain > b.gain THEN -1 WHEN a.gain < b.gain THEN 1 " +
+              "WHEN a.hb < b.hb THEN -1 WHEN a.hb > b.hb THEN 1 " +
+              "WHEN a.nb < b.nb THEN -1 WHEN a.nb > b.nb THEN 1 ELSE 0 END), 1, 3)"))
+          .withColumn("relGain",
+            element_at(col("cands"), 1).getField("gain").cast("double") / col("nw"))
           .withColumn("h", xxhash64(col("src"), lit(seed + round)))
-          .join(overloadDf, "cur")
-          .withColumn("runW", sum(col("nw")).over(wnd))
-          .filter(col("runW") - col("nw") < lit(2L) * col("overload") && col("runW") <= lit(CollectCapPerBlock))
+          .select(col("src"), col("cur"), col("nw"), col("relGain"), col("h"), col("cands"))
 
+        // eviction-set selection per overloaded block: ~2x the overload worth of
+        // best-relative-gain members (slack for targets that fill up), capped so the
+        // driver collect stays bounded at any scale — leftover overload just runs
+        // another (rare) gather round. Sort-free histogram selection (round 5 —
+        // previously a per-block sort window, the last full-sort skew point).
+        val cand = Ckpt(perSrc, "bal-cand")
+        val evictTarget = overloaded
+          .map(b => b -> math.min(2L * (blockW(b) - caps(b)), CollectCapPerBlock)).toMap
         // driver-side exact matching (the analog of the reference's per-block PQ loop,
         // `overload_balancer.cc:76-160`): greedy by relative gain, respecting
         // residuals exactly — no multi-round window ping-pong between caps
-        val rows = prefix
-          .select(col("src"), col("cur"), col("nw"), col("relGain"), col("h"), col("cands"))
-          .collect()
+        val rows = selectTopByScore(cand, "cur", "relGain", evictTarget, seed + round,
+          Seq("src", "cur", "nw", "relGain", "h", "cands"))
         val residual = Array.tabulate(k)(b => math.max(0L, caps(b) - blockW(b)))
         val moves = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
         val stillOver = overloaded.map(b => b -> (blockW(b) - caps(b))).to(scala.collection.mutable.Map)
@@ -893,7 +891,6 @@ object DistRefiner {
           if (stillOver.getOrElse(cur, 0L) > 0L) {
             val nw = row.getAs[Long]("nw")
             val cands = row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("cands"))
-              .sortBy(_.getAs[Int]("trk"))
             cands.find(c => residual(c.getAs[Number]("nb").intValue()) >= nw).foreach { c =>
               val to = c.getAs[Number]("nb").intValue()
               residual(to) -= nw
@@ -911,17 +908,17 @@ object DistRefiner {
         val needFallback = stillOver.filter(_._2 > 0L).keys.toSeq.sorted
         if (needFallback.nonEmpty && residual.exists(_ > 0L)) {
           val movedSet = moves.map(_._1).toSet
-          val fbWnd = Window.partitionBy(col("cur"))
-            .orderBy(asc("h"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          val fbRows = members
+          // hash-ranked = top-by-uniform-score: the same sort-free histogram
+          // selection with the seeded hash as the score (members derives from the
+          // checkpointed part table, so the three scans are cheap projections)
+          val fbCand = members
             .filter(col("cur").isin(needFallback.map(Int.box): _*))
             .withColumn("h", xxhash64(col("src"), lit(seed + round)))
-            .join(broadcast(needFallback.map(b => b -> stillOver(b)).toDF("cur", "overload")), "cur")
-            .withColumn("runW", sum(col("nw")).over(fbWnd))
-            .filter(col("runW") - col("nw") < lit(2L) * col("overload") && col("runW") <= lit(CollectCapPerBlock))
-            .select(col("src"), col("cur"), col("nw"), col("h"))
-            .collect()
+            .withColumn("hs", col("h").cast("double"))
+          val fbTarget = needFallback
+            .map(b => b -> math.min(2L * stillOver(b), CollectCapPerBlock)).toMap
+          val fbRows = selectTopByScore(fbCand, "cur", "hs", fbTarget, seed + round + 31L,
+            Seq("src", "cur", "nw", "h"))
           fbRows.sortBy(_.getAs[Long]("h")).foreach { row =>
             val cur = row.getAs[Number]("cur").intValue()
             val src = row.getAs[Long]("src")
@@ -1016,18 +1013,17 @@ object DistRefiner {
           .withColumn("relGain", col("gain").cast("double") / col("nw"))
           .withColumn("h", xxhash64(col("src"), lit(seed + round)))
 
-        // prefix per underloaded target covering ~2x its deficit, bounded collect
-        val wnd = Window.partitionBy(col("nb"))
-          .orderBy(desc("relGain"), asc("h"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val deficitDf = broadcast(
-          underloaded.map(b => b -> (lmin - blockW(b))).toDF("nb", "deficit"))
-        val rows = toUnder
-          .join(deficitDf, "nb")
-          .withColumn("runW", sum(col("nw")).over(wnd))
-          .filter(col("runW") - col("nw") < lit(2L) * col("deficit") && col("runW") <= lit(CollectCapPerBlock))
-          .select(col("src"), col("cur"), col("nw"), col("nb"), col("relGain"), col("h"))
-          .collect()
+        // candidates per underloaded target covering ~2x its deficit, bounded
+        // collect — sort-free histogram selection (round 5: was a per-target sort
+        // window, same skew hazard class as the overload side)
+        val cand = Ckpt(
+          toUnder.select(
+            col("src"), col("cur"), col("nw"), col("nb"), col("relGain"), col("h")),
+          "ubal-cand")
+        val pullTarget = underloaded
+          .map(b => b -> math.min(2L * (lmin - blockW(b)), CollectCapPerBlock)).toMap
+        val rows = selectTopByScore(cand, "nb", "relGain", pullTarget, seed + round,
+          Seq("src", "cur", "nw", "nb", "relGain", "h"))
 
         // driver-side exact matching: greedy by relative gain; donor must stay >= its
         // own lmin, target must not exceed lmax and stops at lmin
@@ -1073,4 +1069,122 @@ object DistRefiner {
     * take extra gather rounds.
     */
   private val CollectCapPerBlock = 200000L
+
+  /** Sort-free bounded top-by-score selection (round 5: replaces the balancers'
+    * per-block sort windows, the last full-sort skew points in any superstep path;
+    * the reference's per-block PQ role, `refinement/balancer/
+    * overload_balancer.cc:76-160`, re-expressed as aggregates). For each group
+    * (block), picks ~targetW(group) total node weight of the HIGHEST-score rows via
+    * an exact per-group score histogram: one extents aggregate, one (group, bucket)
+    * count/weight aggregate, then a filter keeping whole buckets above a per-group
+    * threshold bucket plus a weight-proportional seeded coin inside the boundary
+    * bucket. Every stage is a skew-free hash aggregation with map-side partials — a
+    * 10^9-member block costs the same per row as a 10-member one — and the selected
+    * weight is HARD-bounded by targetW + boundary-coin variance (ties all land in
+    * one bucket and meet the coin, so degenerate score distributions cannot blow up
+    * the collect — the failure mode an approximate-percentile threshold would have).
+    * Bucket granularity only blurs ordering INSIDE the boundary bucket; the exact
+    * driver-side matcher downstream re-sorts the collected rows, so selection
+    * granularity is quality-neutral.
+    *
+    * `cand` must be cheap to rescan (a checkpoint or a projection of one); it is
+    * scanned three times. Requires columns: `grp` (int), `score` (double, non-null),
+    * `nw` (long), `src` (long, coin key). Returns the selected rows projected to
+    * `keep`.
+    */
+  private[graft] def selectTopByScore(
+      cand: DataFrame,
+      grp: String,
+      score: String,
+      targetW: Map[Int, Long],
+      seed: Long,
+      keep: Seq[String]): Array[org.apache.spark.sql.Row] = {
+    val ext = scoreExtents(cand, grp, score).collect().flatMap { r =>
+      val g = r.getAs[Number](grp).intValue()
+      targetW.get(g).map(tw =>
+        g -> (r.getAs[Double]("lo"), r.getAs[Double]("hi"), r.getAs[Long]("wsum"), tw))
+    }.toMap
+    if (ext.isEmpty) return Array.empty
+    val (takeAll, histGroups) = ext.partition { case (_, (_, _, wsum, tw)) => wsum <= tw }
+    val nBuckets = math.max(64, math.min(1024, (1 << 20) / math.max(1, histGroups.size)))
+    val histSel: Seq[(Int, Double, Double, Int, Double)] =
+      if (histGroups.isEmpty) Nil
+      else {
+        val extents = histGroups.toSeq.map { case (g, (lo, hi, _, _)) =>
+          (g, lo, math.max((hi - lo) / nBuckets, 1e-12))
+        }
+        val hist = scoreHistogram(cand, grp, score, extents, nBuckets).collect()
+          .map(r => ((r.getAs[Number](grp).intValue(), r.getAs[Number]("bkt").intValue()),
+            (r.getAs[Long]("c"), r.getAs[Long]("bw")))).toMap
+        extents.map { case (g, lo, binW) =>
+          val tw = ext(g)._4
+          var acc = 0L
+          var tb = 0
+          var p = 1.0
+          var found = false
+          (nBuckets - 1) to 0 by -1 foreach { i =>
+            if (!found) hist.get((g, i)).foreach { case (c, bw) =>
+              if (acc + bw >= tw) {
+                tb = i
+                // weight-proportional boundary coin: expected boundary weight fills
+                // exactly to the target; floored so tiny targets still select a
+                // non-empty set w.h.p. (the exact matcher ignores extras)
+                p = math.min(1.0, math.max((tw - acc).toDouble / bw, 64.0 / c))
+                found = true
+              } else acc += bw
+            }
+          }
+          // found always holds here: wsum > tw means the running total crosses tw
+          (g, lo, binW, tb, p)
+        }
+      }
+    val sel = histSel ++ takeAll.toSeq.map { case (g, (lo, _, _, _)) => (g, lo, 1.0, -1, 1.0) }
+    histSelect(cand, grp, score, sel, nBuckets, seed, keep).collect()
+  }
+
+  /** Per-group score extents + total node weight (one skew-free aggregate). */
+  private[graft] def scoreExtents(cand: DataFrame, grp: String, score: String): DataFrame =
+    cand.groupBy(col(grp)).agg(
+      min(col(score)).as("lo"), max(col(score)).as("hi"), sum(col("nw")).as("wsum"))
+
+  /** Exact per-(group, bucket) count/weight histogram (one skew-free aggregate). */
+  private[graft] def scoreHistogram(
+      cand: DataFrame,
+      grp: String,
+      score: String,
+      extents: Seq[(Int, Double, Double)],
+      nBuckets: Int): DataFrame = {
+    import cand.sparkSession.implicits._
+    val extDf = broadcast(extents.toDF(grp, "lo", "binW"))
+    cand.join(extDf, grp)
+      .withColumn("bkt", bucketOf(col(score), col("lo"), col("binW"), nBuckets))
+      .groupBy(col(grp), col("bkt"))
+      .agg(count(lit(1)).as("c"), sum(col("nw")).as("bw"))
+  }
+
+  /** The selection filter: whole buckets above the per-group threshold bucket, plus
+    * a seeded coin inside the boundary bucket. No window, no sort, no shuffle beyond
+    * the broadcast of the k-row threshold table.
+    */
+  private[graft] def histSelect(
+      cand: DataFrame,
+      grp: String,
+      score: String,
+      sel: Seq[(Int, Double, Double, Int, Double)],
+      nBuckets: Int,
+      seed: Long,
+      keep: Seq[String]): DataFrame = {
+    import cand.sparkSession.implicits._
+    val selDf = broadcast(sel.toDF(grp, "lo", "binW", "tb", "pCoin"))
+    cand.join(selDf, grp)
+      .withColumn("bkt", bucketOf(col(score), col("lo"), col("binW"), nBuckets))
+      .filter(col("bkt") > col("tb") ||
+        (col("bkt") === col("tb") &&
+          pmod(xxhash64(col("src"), lit(seed * 7919L + 13L)), lit(1000000L)) <
+            col("pCoin") * lit(1000000.0d)))
+      .select(keep.map(col): _*)
+  }
+
+  private def bucketOf(score: Column, lo: Column, binW: Column, nBuckets: Int): Column =
+    least(lit(nBuckets - 1), greatest(lit(0), floor((score - lo) / binW).cast("int")))
 }

@@ -39,9 +39,18 @@ object Similarity {
     val scored = c.crossJoin(q)
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), round(cosine(col("qvec"), col("nvec")), 6).as("cos"))
-    val wnd = Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("nid"))
+    // two-stage EXACT top-k (round 5): a single per-qid window would sort the whole
+    // corpus in one task per query at scale; stage 1 ranks inside (qid, hash bucket)
+    // — groups of ~corpus/1024 — and stage 2 ranks the surviving 1024*k rows per
+    // query. Per-bucket top-k is a superset of the global top-k, so the result is
+    // identical to the one-window form.
+    val wnd1 = Window.partitionBy(col("qid"), col("bkt")).orderBy(desc("cos"), asc("nid"))
+    val wnd2 = Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("nid"))
     scored
-      .withColumn("rank", row_number().over(wnd))
+      .withColumn("bkt", pmod(xxhash64(col("nid")), lit(1024)))
+      .withColumn("brank", row_number().over(wnd1))
+      .filter(col("brank") <= k)
+      .withColumn("rank", row_number().over(wnd2))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
   }

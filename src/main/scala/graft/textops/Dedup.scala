@@ -75,10 +75,16 @@ object Dedup {
     val buckets = sig
       .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    val small = buckets
-      .withColumn("sz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
+    // bucket sizing as an AGGREGATE, not a window: a degenerate boilerplate bucket
+    // (~10^8 docs sharing a band hash on a real crawl) dies at the map-side partial
+    // agg instead of materializing every member row in one window partition; the
+    // semi-join keeps only members of small buckets
+    val smallBuckets = buckets
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("sz"))
       .filter(col("sz") <= maxBucket)
+      .select(col("band"), col("bucket"))
+    val small = buckets.join(smallBuckets, Seq("band", "bucket"), "left_semi")
     small.as("x")
       .join(small.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&

@@ -158,6 +158,37 @@ object PlanAudit {
       else { failures += 1; println(s"FAIL cluster_commit_no_sort_window win=$wins sort=$sorts") }
     }
 
+    // 10. balancer candidate selection (round-5 fix): the overload/underload
+    // balancers' eviction/pull sets are picked by the sort-free histogram selection
+    // — per-member candidate aggregation, per-(block, bucket) histogram, and the
+    // boundary-coin filter must all carry NO WindowExec/SortExec (previously a
+    // per-block running-sum sort window: an overloaded block's ~n/k members sorted
+    // in ONE task at scale).
+    {
+      import org.apache.spark.sql.execution.window.WindowExec
+      import org.apache.spark.sql.execution.SortExec
+      import spark.implicits._
+      val cand = Seq(
+        (1L, 0, 1L, 2.0, 11L), (2L, 0, 1L, 1.0, 12L), (3L, 1, 1L, 0.5, 13L))
+        .toDF("src", "cur", "nw", "relGain", "h")
+      val extents = Seq((0, 0.0, 0.01), (1, 0.0, 0.01))
+      val sel = Seq((0, 0.0, 0.01, 5, 0.5), (1, 0.0, 0.01, -1, 1.0))
+      val plans = Seq(
+        "extents" -> graft.partition.DistRefiner.scoreExtents(cand, "cur", "relGain"),
+        "histogram" -> graft.partition.DistRefiner
+          .scoreHistogram(cand, "cur", "relGain", extents, 256),
+        "select" -> graft.partition.DistRefiner
+          .histSelect(cand, "cur", "relGain", sel, 256, 7L, Seq("src", "cur", "nw")))
+      val bad = plans.flatMap { case (n, df) =>
+        val p = df.queryExecution.executedPlan
+        val wins = p.collectWithSubqueries { case w: WindowExec => w }
+        val sorts = p.collectWithSubqueries { case s: SortExec => s }
+        if (wins.isEmpty && sorts.isEmpty) Nil else Seq((n, wins, sorts))
+      }
+      if (bad.isEmpty) println("PASS balancer_select_no_sort_window")
+      else { failures += 1; println(s"FAIL balancer_select_no_sort_window $bad") }
+    }
+
     println(if (failures == 0) "ALL PLAN CHECKS PASS" else s"$failures CHECKS FAILED")
     spark.stop()
     if (failures > 0) sys.exit(1)

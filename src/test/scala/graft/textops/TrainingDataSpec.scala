@@ -102,6 +102,15 @@ class DedupSpec extends SparkFunSuite {
     val b = Dedup.minhashSignatures(corpus.repartition(5)).collect().map(_.toSeq).toSet
     assert(a === b)
   }
+
+  test("lsh candidate plan carries no window (bucket sizing is an aggregate)") {
+    // round-5 fix: count-over-window materialized every member of a degenerate
+    // boilerplate bucket in ONE window partition; sizing must be groupBy + semi-join
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = Dedup.lshCandidates(corpus).queryExecution.executedPlan
+    val wins = plan.collectWithSubqueries { case w: WindowExec => w }
+    assert(wins.isEmpty, s"lshCandidates must not use a window: $wins")
+  }
 }
 
 class SimilaritySpec extends SparkFunSuite {
