@@ -167,6 +167,20 @@ final class Partitioner private (
             val seqRes = SeqPartitioner.partitionKwayBest(
               csr, k, epsilon, seed,
               boundsOverride = Some((ctx.perfectBlockWeight, ctx.maxBlockWeight)))
+            // whole-graph-on-driver path only (levels.isEmpty — NOT the dist path's
+            // coarsest IP, where kicks on a ~12k-node handoff would bloat the level
+            // chain): iterated-local-search basin hopping above the polish chain's
+            // minimum (round-5 stretch; preset-scaled — fast keeps its latency
+            // contract)
+            val kicks =
+              if (levels.nonEmpty) 0
+              else preset.name match {
+                case "fast" => 0
+                case "eco" | "strong" => 24
+                case _ => 12
+              }
+            SeqPartitioner.ilsRefine(csr, seqRes.part, k, ctx.maxBlockWeight,
+              seed + 5550L, kicks)
             coarseNodes.indices.map(i => (coarseNodes(i)._1, seqRes.part(i)))
               .toDF("node", "block")
           } else {
@@ -358,18 +372,64 @@ final class Partitioner private (
     if (levels.nonEmpty && preset.vcycles > 0) {
       var anyImproved = false
       var cyc = 0
+      // the descent chain is not strictly non-worsening (simultaneous positive-gain
+      // LP moves by adjacent same-parity nodes can raise the cut), so a coarse win
+      // does not guarantee a fine win. Cycles keep EXPLORING from each adopted
+      // candidate (a temporary fine regression often enables the next cycle's
+      // bigger win — measured round 5: gating exploration on the fine cut re-opened
+      // the seed-5 1378 plateau), but the RETURNED partition is the best measured
+      // (feasible, fine cut) state over the whole run, so the final result can
+      // never regress below the pre-cycle partition.
+      var bestPart = part
+      var bestW = lastBlockW
+      var bestCut = timed("vcycle")(Metrics.edgeCut(e, part))
+      var bestFeasible = timed("vcycle") {
+        lastBlockW.getOrElse(Metrics.blockWeights(part, nodeW, k))
+      }.forall(_ <= ctx.maxBlockWeight)
       while (cyc < preset.vcycles) {
-        val improved = timed("vcycle") {
+        var improved = timed("vcycle") {
           VCycle.improveOnce(spark, e, nodeW, part, ctx, targetN,
             Partitioner.DriverEdgeCap, seed + 7000L + 131L * cyc, cycle = cyc)
         }
+        // stuck-seed escape (round 5): a fruitless cycle means THIS restricted
+        // basis converged — before giving up the cycle, re-probe with a jittered
+        // clustering seed and flipped cap parity, so a DIFFERENT basis gets to
+        // express escapes the converged one cannot. Each retry costs only the
+        // probe (the measured ~5-8 s fruitless-cycle price at sf0.1).
+        var probeN = 0
+        while (improved.isEmpty && probeN < Partitioner.VcRetryProbes) {
+          improved = timed("vcycle") {
+            VCycle.improveOnce(spark, e, nodeW, part, ctx, targetN,
+              Partitioner.DriverEdgeCap, seed + 9100L + 131L * cyc + 977L * probeN,
+              cycle = cyc + probeN + 1)
+          }
+          probeN += 1
+        }
         improved.foreach { cr =>
+          // working state: always the cycle's result (exploration); best state:
+          // only on measured fine improvement
           part = cr.part
           lastBlockW = Some(cr.blockWeights)
-          anyImproved = true
+          val candCut = timed("vcycle")(Metrics.edgeCut(e, cr.part))
+          val candFeasible = cr.blockWeights.forall(_ <= ctx.maxBlockWeight)
+          val betterThanBest = (candFeasible && !bestFeasible) ||
+            (candFeasible == bestFeasible && candCut <= bestCut)
+          if (betterThanBest) {
+            bestPart = cr.part
+            bestW = Some(cr.blockWeights)
+            bestCut = candCut
+            bestFeasible = candFeasible
+            anyImproved = true
+          } else {
+            graft.util.Log.info(
+              s"vcycle: fine cut $candCut (feasible $candFeasible) below best " +
+                s"$bestCut — exploring from it, best kept")
+          }
         }
         cyc += 1
       }
+      part = bestPart
+      lastBlockW = bestW
       // a fresh coarse re-partition only enforces Lmax; restore Lmin when min
       // block weights are configured (the per-level O18 runs predate the vcycle)
       if (anyImproved && ctx.hasMinBlockWeights) {
@@ -501,6 +561,9 @@ object Partitioner {
     * 10^8+ edges). 2M edge triples ≈ 50 MB on the driver — comfortable.
     */
   val DriverEdgeCap = 2000000L
+
+  /** Fresh-basis retry probes per fruitless V-cycle (stuck-seed escape). */
+  val VcRetryProbes = 2
 
   /** Entry point: `Partitioner(edges).setK(16).setEpsilon(0.03).computePartition(spark)`.
     * `edges` must be a symmetric (src, dst, w) table (use Graphs.symmetrize).

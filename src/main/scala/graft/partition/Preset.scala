@@ -32,10 +32,13 @@ final case class Preset(
       */
     pairFmRadius: Int = 2,
     /** Distributed V-cycles after uncoarsening (O16 vcycle scheme): same-block
-      * restricted re-coarsening + driver full-k re-search + refine-on-the-way-down —
-      * the escape hatch for fine-level structural minima. 0 for fast/default
-      * (matching the reference, whose default preset does not V-cycle either —
-      * vcycling is its separate quality mode); the eco/strong rungs pay for it.
+      * restricted re-coarsening + driver full-k re-search (+ ILS basin hopping on
+      * the coarse basis, round 5) + refine-on-the-way-down — the escape hatch for
+      * fine-level structural minima. 0 for fast/default (matching the reference,
+      * whose default preset does not V-cycle either — vcycling is its separate
+      * quality mode); eco pays for 1 cycle, strong for 5 (measured round 5: the
+      * stuck-seed tail closes between cycle 3 and 5, and with best-state tracking
+      * extra cycles are non-worsening per seed).
       */
     vcycles: Int = 0
 )
@@ -48,7 +51,7 @@ object Preset {
       vcycles = 1)
   val Strong: Preset =
     Preset("strong", 5, 5, 5, 3, DistExtend.MinExtendK, DistExtend.CExt, pairFmRadius = 3,
-      vcycles = 3)
+      vcycles = 5)
   val LargeK: Preset = Preset("largek", 5, 2, 3, 1, 16, 128L)
 
   def byName(name: String): Preset = name match {

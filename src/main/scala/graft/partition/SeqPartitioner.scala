@@ -266,6 +266,75 @@ object SeqPartitioner {
     groups
   }
 
+  /** Iterated local search at the finest driver granularity (round-5 quality
+    * stretch): perturb-and-repolish basin hopping above the refinement chain's local
+    * minimum. Each kick restarts from the incumbent best, moves a seeded random
+    * sample of BOUNDARY nodes to a random adjacent block (slack-tolerant — the
+    * polish re-establishes balance), then re-runs the FM/LP/pairwise polish; the
+    * best (feasible, cut) state is kept. Deterministic given the seed. Driver-path
+    * only (one JVM owns the whole graph); the distributed path's escape mechanism
+    * is the V-cycle. The reference's corresponding lever is its iterated V-cycling
+    * quality mode (`vcycle_deep_multilevel.cc`); a kick-based ILS explores basins a
+    * block-restricted basis cannot express.
+    */
+  def ilsRefine(
+      g: CsrGraph, part: Array[Int], k: Int, lmax: Long, seed: Long, kicks: Int): Unit = {
+    if (kicks <= 0 || k < 2) return
+    val rand = new Random(seed ^ 0x11571c5aL)
+    val capsFinal = Array.fill(k)(lmax)
+    val slack = math.max(2 * g.maxNodeWeight, lmax / 10)
+    if (blockWeights(g, part, k).max > lmax) return // only hop between feasible basins
+    var bestCut = cut(g, part)
+    val best = part.clone()
+    val cand = new Array[Int](g.n)
+    val nbs = new Array[Int](k)
+    var kk = 0
+    while (kk < kicks) {
+      System.arraycopy(best, 0, cand, 0, g.n)
+      val bw = blockWeights(g, cand, k)
+      // kick strength cycles 1%/2%/3% of boundary nodes for basin-size diversity
+      val p = 0.01 * (1 + kk % 3)
+      var u = 0
+      while (u < g.n) {
+        var nNb = 0
+        var ei = g.xadj(u)
+        while (ei < g.xadj(u + 1)) {
+          val b = cand(g.adjncy(ei))
+          if (b != cand(u)) {
+            var seen = false
+            var j = 0
+            while (j < nNb && !seen) { if (nbs(j) == b) seen = true; j += 1 }
+            if (!seen) { nbs(nNb) = b; nNb += 1 }
+          }
+          ei += 1
+        }
+        if (nNb > 0 && rand.nextDouble() < p) {
+          val to = nbs(rand.nextInt(nNb))
+          if (bw(to) + g.vwgt(u) <= lmax + slack) {
+            bw(cand(u)) -= g.vwgt(u)
+            bw(to) += g.vwgt(u)
+            cand(u) = to
+          }
+        }
+        u += 1
+      }
+      kwayFmRefine(g, cand, k, capsFinal, slack)
+      kwayLpRefine(g, cand, k, capsFinal, rand, rounds = 2)
+      pairwiseFmRefine(g, cand, k, lmax, maxSweeps = 4)
+      if (blockWeights(g, cand, k).max > lmax) forceFeasible(g, cand, k, capsFinal)
+      // refinement on a kicked state can strand empty blocks — restore the full-k
+      // contract before scoring (the incumbent entered with all k populated)
+      if (g.n >= k) fillEmptyBlocks(g, cand, k, capsFinal)
+      val cCut = cut(g, cand)
+      if (blockWeights(g, cand, k).max <= lmax && cCut < bestCut) {
+        bestCut = cCut
+        System.arraycopy(cand, 0, best, 0, g.n)
+      }
+      kk += 1
+    }
+    System.arraycopy(best, 0, part, 0, g.n)
+  }
+
   /** Populate empty blocks (possible after bisections/eviction at tight n/k ratios):
     * move the cheapest mover — minimum internal connectivity, so usually a boundary
     * node — from a multi-node block into each empty block, respecting its cap. Runs

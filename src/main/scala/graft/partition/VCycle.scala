@@ -69,7 +69,11 @@ object VCycle {
       cycle: Int = 0
   ): Option[CycleResult] = {
     val k = ctx.k
-    val vcN = math.min(VcTargetN, math.max(2L * k, 4L * targetN))
+    // the per-block floor (2 coarse nodes per block, else the full-k re-search is
+    // degenerate) must survive the driver cap: max OUTSIDE the min, so large k
+    // (> VcTargetN/2, reachable via the largek preset) raises the stop bound instead
+    // of being clipped by it
+    val vcN = math.max(2L * k, math.min(VcTargetN, 4L * targetN))
     var curEdges = edges
     var curNodeW = nodeW
     var curPart = part0.select(col("node"), col("block"))
@@ -129,6 +133,12 @@ object VCycle {
       Log.info(s"vcycle: restricted coarsening converged above the driver caps (n=$n m=$m) — skipping")
       return None
     }
+    if (n < 2L * k) {
+      // fewer than 2 coarse nodes per block: the full-k re-search cannot improve on
+      // the inherited partition (every block is 0-1 indivisible clusters)
+      Log.info(s"vcycle: coarse graph too small to express k=$k blocks (n=$n) — skipping")
+      return None
+    }
 
     // ---- driver leg ----
     val coarseNodes = curNodeW.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
@@ -167,6 +177,14 @@ object VCycle {
     }
     if (SeqPartitioner.blockWeights(csr, refined, k).max > lmax)
       SeqPartitioner.forceFeasible(csr, refined, k, capsFinal)
+    // basin hopping on the coarse graph (round 5, the seed-2 plateau fix): the
+    // polish alternation converges to the inherited partition's own basin; ILS
+    // kicks + repolish explore neighboring basins the restricted basis CAN express
+    // but move-based polish cannot reach. Kick count scales down with basis size
+    // (each kick repolishes the whole coarse graph; a ~1k-node basis affords 16,
+    // an ~8k-node one 8 — the cycle stays within the measured probe price)
+    SeqPartitioner.ilsRefine(csr, refined, k, lmax, seed ^ 0x5ca1ab1eL,
+      kicks = if (csr.n <= 2048) 16 else 8)
 
     // candidate B: fresh full-k multilevel partition of the coarse graph (the
     // reference vcycle's re-partition step) under the FINE-level balance bounds

@@ -24,14 +24,13 @@ class WalshawQualitySpec extends SparkFunSuite {
     // is scale-aware and would coarsen first — covered by the distributed-path test)
     val res = Partitioner(edges).setK(16).setEpsilon(0.03).setSeed(0L)
       .setDriverThreshold(100000L).computePartition(spark)
-    // round-3 quality bar: measured 1170-1197 over 8 seeds (round 2: 1178-1219,
-    // round 1: 1223-1325; the pair-region flow refiner + parallel group bisections
-    // tightened the spread). Context for the absolute level: the reference's own
-    // e2e test accepts <= 2000 on this instance (`dist_endtoend_test.cc:138`), and
-    // our k=2/4/8 cuts (198/411/709) sit ~5% above the long-standing
-    // Walshaw-archive bests (189/382/668) — k=16 ~1180 is the same distance from
-    // that frontier.
-    assert(res.cut <= 1220L, s"cut ${res.cut} exceeds the round-3 quality bar")
+    // round-5 quality bar: measured 1165-1190 over 8 seeds with the ILS basin
+    // hopping (round 4/3: 1170-1197, round 2: 1178-1219, round 1: 1223-1325).
+    // Context for the absolute level: the reference's own e2e test accepts <= 2000
+    // on this instance (`dist_endtoend_test.cc:138`), and our k=2/4/8 cuts
+    // (198/411/709) sit ~5% above the long-standing Walshaw-archive bests
+    // (189/382/668) — k=16 ~1175 is inside the projected ~1130-1180 frontier band.
+    assert(res.cut <= 1200L, s"cut ${res.cut} exceeds the round-5 quality bar")
     assert(res.cut <= 2000L, s"cut ${res.cut} exceeds the reference bound")
     assert(res.feasible, s"imbalance ${res.imbalance} infeasible (blockW=${res.blockWeights.mkString(",")})")
     assert(res.imbalance <= 0.03 + 1e-9)
