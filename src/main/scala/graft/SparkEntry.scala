@@ -220,15 +220,20 @@ object SparkEntry {
   )
 
   /** q10/q11 share one partition run per sf dir (the run is deterministic, and the
-    * driver's Verify executes queries sequentially on one session).
+    * driver's Verify executes queries sequentially on one session). Size-1 LRU: a
+    * long-lived service iterating sf dirs must not accumulate Result handles.
     */
-  private val partCache =
-    scala.collection.mutable.Map.empty[String, graft.partition.Partitioner.Result]
+  private var partCache: Option[(String, graft.partition.Partitioner.Result)] = None
   private def partitionResult(s: SparkSession, dir: String): graft.partition.Partitioner.Result =
-    partCache.synchronized {
-      partCache.getOrElseUpdate(dir,
-        graft.partition.Partitioner(Graphs.bipartite(s, dir))
-          .setK(16).setEpsilon(0.03).setSeed(42L).computePartition(s))
+    synchronized {
+      partCache match {
+        case Some((d, r)) if d == dir => r
+        case _ =>
+          val r = graft.partition.Partitioner(Graphs.bipartite(s, dir))
+            .setK(16).setEpsilon(0.03).setSeed(42L).computePartition(s)
+          partCache = Some((dir, r))
+          r
+      }
     }
 
   private def docs(s: SparkSession, dir: String): DataFrame =

@@ -136,19 +136,34 @@ object DistCoarsener {
         .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
       val contention = metrics.get("contention").flatMap(Option(_))
         .map(_.asInstanceOf[Number].longValue).getOrElse(Long.MinValue)
-      // per-cluster rollback (job 2) only when some target was OVERSUBSCRIBED
-      // (D > allow somewhere): otherwise every coin ran at p = 1 and the admitted
-      // inflow provably fits, so the commit is a free projection of the staged
-      // parquet — the common case after the first supersteps, saving a checkpoint
-      // write per quiet superstep
+      // per-cluster rollback only when some target was OVERSUBSCRIBED (D > allow
+      // somewhere): otherwise every coin ran at p = 1 and the admitted inflow
+      // provably fits, so the commit is a free projection of the staged parquet —
+      // the common case after the first supersteps. The contended commit is ALSO a
+      // lazy projection now (no second checkpoint write — the next superstep's
+      // staging checkpoint materializes it; the plan stays one superstep deep
+      // because `staged` is a parquet scan): the only eager work is a small
+      // aggregate counting the rolled-back movers, which converges/logs honestly
+      // (a superstep whose admitted moves all roll back must count as quiet)
+      var committed = moves
       labels =
         if (contention <= 0L)
           staged.select(
             col("node"), coalesce(col("cand"), col("label")).as("label"), col("weight"))
-        else
-          Ckpt(commitWithRollback(staged, capacity), "lpc-labels")
-      Log.info(s"lpCluster superstep $it: tentativeMoves=$moves contention=$contention")
-      quiet = if (moves == 0L) quiet + 1 else 0
+        else {
+          val rolledMovers = staged.filter(col("cand").isNotNull)
+            .groupBy(col("cand"))
+            .agg(sum(col("weight")).as("inW"), count(lit(1)).as("cnt"))
+            .join(capacity, "cand")
+            .filter(col("inW") > col("allow"))
+            .agg(coalesce(sum(col("cnt")), lit(0L)))
+            .first().getLong(0)
+          committed = moves - rolledMovers
+          commitWithRollback(staged, capacity)
+        }
+      Log.info(
+        s"lpCluster superstep $it: tentativeMoves=$moves committed=$committed contention=$contention")
+      quiet = if (committed == 0L) quiet + 1 else 0
       it += 1
     }
     e.unpersist()

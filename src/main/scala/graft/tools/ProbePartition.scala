@@ -12,11 +12,14 @@ object ProbePartition {
     val edges = graft.graph.Graphs.bipartite(spark, sfDir).persist()
     edges.count()
     val preset = sys.env.getOrElse("SPARK_GRAFT_PRESET", "default")
+    val k = sys.env.getOrElse("SPARK_GRAFT_K", "16").toInt
     val t0 = System.nanoTime()
-    val res = graft.partition.Partitioner(edges).setK(16).setEpsilon(0.03).setSeed(42L)
+    val res = graft.partition.Partitioner(edges).setK(k).setEpsilon(0.03).setSeed(42L)
       .setPreset(preset)
       .computePartition(spark)
-    println(s"PARTITION ${(System.nanoTime()-t0)/1e9}s cut=${res.cut} imb=${res.imbalance} feasible=${res.feasible}")
+    val populated = res.blockWeights.count(_ > 0L)
+    println(s"PARTITION k=$k ${(System.nanoTime()-t0)/1e9}s cut=${res.cut} imb=${res.imbalance} " +
+      s"feasible=${res.feasible} populated=$populated/${res.blockWeights.length}")
     println("STAGES " + res.stageTimes.map { case (k, v) => f"$k=$v%.1f" }.mkString(" "))
     spark.stop()
   }
