@@ -42,16 +42,41 @@ object DistCoarsener {
       cap: Long,
       maxIter: Int = 5,
       seed: Long = 42L,
-      hubDegThreshold: Long = 0L
+      hubDegThreshold: Long = 0L,
+      largeDegThreshold: Long = Long.MaxValue,
+      maxNumNeighbors: Long = Long.MaxValue
   ): DataFrame = {
+    val base = edges.select(col("src"), col("dst"), col("w"))
+    // High-degree LP filters (SURVEY P4, reference `label_propagation.h:106-118`,
+    // skip at `:1470`, config defaults ∞ `presets.cc:144-145` — same defaults here):
+    // nodes with degree > largeDegThreshold never MOVE, and nodes over
+    // maxNumNeighbors rate only a sample of their neighborhood. Both are applied to
+    // the gather INPUT once per call rather than per superstep: dropping a hub's
+    // src-side rows removes its rating aggregation from every superstep (it still
+    // ATTRACTS neighbors through its dst-side rows, exactly like the reference,
+    // where a skipped node keeps its cluster and remains a join target). The
+    // reference rates the FIRST maxN neighbors in adjacency order; order carries no
+    // meaning in a shuffled table, so the seeded per-edge coin at p = maxN/deg is
+    // the distribution-shape equivalent (deterministic, partition-independent).
+    val gatherInput =
+      if (largeDegThreshold == Long.MaxValue && maxNumNeighbors == Long.MaxValue) base
+      else {
+        val deg = base.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        base.join(deg, "src")
+          .filter(col("deg") <= lit(largeDegThreshold))
+          .filter(
+            col("deg") <= lit(maxNumNeighbors) ||
+              pmod(xxhash64(col("src"), col("dst"), lit(seed + 4242L)), lit(1000000L))
+                .cast("double") < lit(maxNumNeighbors.toDouble * 1e6) / col("deg"))
+          .select(col("src"), col("dst"), col("w"))
+      }
     // edge table hash-partitioned by the gather key ONCE and pinned (co-partitioning);
     // hub splitting (Gather.prepare) when a threshold is configured
     val ge =
       if (hubDegThreshold > 0L)
-        Gather.prepare(edges.select(col("src"), col("dst"), col("w")), hubDegThreshold)
+        Gather.prepare(gatherInput, hubDegThreshold)
       else
-        Gather.plain(
-          edges.select(col("src"), col("dst"), col("w")).repartition(col("dst")).persist())
+        Gather.plain(gatherInput.repartition(col("dst")).persist())
     val e = ge.e
     var labels = Ckpt(nodeW.select(col("node"), col("node").as("label"), col("weight")), "lpc-labels")
 
@@ -442,7 +467,9 @@ object DistCoarsener {
       seed: Long,
       targetM: Long = Long.MaxValue,
       resume: Option[graft.util.RunCheckpoint] = None,
-      hubDegThreshold: Long = 0L
+      hubDegThreshold: Long = 0L,
+      largeDegThreshold: Long = Long.MaxValue,
+      maxNumNeighbors: Long = Long.MaxValue
   ): (Seq[DistCoarsener.Level], DataFrame, DataFrame) = {
     // callers pass already-checkpointed inputs (Partitioner does); re-checkpointing
     // here would add two redundant full-table write jobs per run
@@ -478,7 +505,8 @@ object DistCoarsener {
           // Across levels the pairs re-chain into 4s, 8s, ... until the cap binds.
           val clustering = chainIsolated(spark,
             lpCluster(spark, edges, nodeW, cap, maxIter = 5,
-              seed = seed + levels.length, hubDegThreshold = hubDegThreshold),
+              seed = seed + levels.length, hubDegThreshold = hubDegThreshold,
+              largeDegThreshold = largeDegThreshold, maxNumNeighbors = maxNumNeighbors),
             nodeW, edges, cap, seed + 977L * (levels.length + 1))
           var level = contract(edges, nodeW, clustering)
           var ce = Ckpt(level.coarseEdges, "cedges")

@@ -126,7 +126,9 @@ final class Partitioner private (
     val (levels, cEdges, cNodeW) = timed("coarsen") {
       DistCoarsener.coarsen(spark, e, nodeW, k, epsilon, targetN, seed,
         targetM = Partitioner.DriverEdgeCap, resume = resume,
-        hubDegThreshold = hubThreshold)
+        hubDegThreshold = hubThreshold,
+        largeDegThreshold = preset.lpLargeDegreeThreshold,
+        maxNumNeighbors = preset.lpMaxNumNeighbors)
     }
 
     // 2. coarsest graph -> driver, dense-relabel sparse coarse ids, partition.
@@ -172,13 +174,7 @@ final class Partitioner private (
             // chain): iterated-local-search basin hopping above the polish chain's
             // minimum (round-5 stretch; preset-scaled — fast keeps its latency
             // contract)
-            val kicks =
-              if (levels.nonEmpty) 0
-              else preset.name match {
-                case "fast" => 0
-                case "eco" | "strong" => 24
-                case _ => 12
-              }
+            val kicks = if (levels.nonEmpty) 0 else preset.ilsKicks
             SeqPartitioner.ilsRefine(csr, seqRes.part, k, ctx.maxBlockWeight,
               seed + 5550L, kicks)
             coarseNodes.indices.map(i => (coarseNodes(i)._1, seqRes.part(i)))

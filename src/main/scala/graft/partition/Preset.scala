@@ -40,18 +40,36 @@ final case class Preset(
       * stuck-seed tail closes between cycle 3 and 5, and with best-state tracking
       * extra cycles are non-worsening per seed).
       */
-    vcycles: Int = 0
+    vcycles: Int = 0,
+    /** ILS basin-hopping kicks on the whole-graph driver path (each kick = seeded
+      * boundary perturbation + full repolish, best-(feasible, cut) kept — see
+      * `SeqPartitioner.ilsRefine`). 0 for fast (latency contract); the quality
+      * rungs pay more. Orthogonal to `vcycles`, which is the DISTRIBUTED path's
+      * escape mechanism.
+      */
+    ilsKicks: Int = 12,
+    /** High-degree LP clustering filters (SURVEY P4, reference
+      * `label_propagation.h:106-118`): nodes above `lpLargeDegreeThreshold` never
+      * move during clustering, and nodes over `lpMaxNumNeighbors` rate only a
+      * deterministic sample of their neighborhood. Defaults are unlimited, matching
+      * the reference's default preset (`presets.cc:144-145`); web crawls with
+      * pathological hubs set a threshold (the reference's initial-partitioning
+      * coarsening uses 10^6, `presets.cc:194`).
+      */
+    lpLargeDegreeThreshold: Long = Long.MaxValue,
+    lpMaxNumNeighbors: Long = Long.MaxValue
 )
 
 object Preset {
   val Default: Preset = Preset("default", 5, 3, 3, 2, DistExtend.MinExtendK, DistExtend.CExt)
-  val Fast: Preset = Preset("fast", 3, 0, 0, 0, DistExtend.MinExtendK, DistExtend.CExt)
+  val Fast: Preset =
+    Preset("fast", 3, 0, 0, 0, DistExtend.MinExtendK, DistExtend.CExt, ilsKicks = 0)
   val Eco: Preset =
     Preset("eco", 5, 3, 3, 3, DistExtend.MinExtendK, DistExtend.CExt, pairFmRadius = 3,
-      vcycles = 1)
+      vcycles = 1, ilsKicks = 24)
   val Strong: Preset =
     Preset("strong", 5, 5, 5, 3, DistExtend.MinExtendK, DistExtend.CExt, pairFmRadius = 3,
-      vcycles = 5)
+      vcycles = 5, ilsKicks = 24)
   val LargeK: Preset = Preset("largek", 5, 2, 3, 1, 16, 128L)
 
   def byName(name: String): Preset = name match {

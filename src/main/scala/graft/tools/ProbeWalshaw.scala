@@ -17,10 +17,14 @@ object ProbeWalshaw {
     val csr = graft.graph.MetisIO.readCsrResource("/data.graph")
     val edges = graft.graph.MetisIO.readEdges(spark, csr)
     val threshold = if (dist) 300L else 100000L
+    // ILS-depth experiments on the driver path (dev knob; presets carry the ship values)
+    val preset = sys.env.get("SPARK_GRAFT_ILS_KICKS").map(_.toInt)
+      .map(k => graft.partition.Preset.Default.copy(ilsKicks = k))
+      .getOrElse(graft.partition.Preset.Default)
     val cuts = seeds.map { s =>
       val t0 = System.nanoTime()
       val res = graft.partition.Partitioner(edges).setK(16).setEpsilon(0.03).setSeed(s)
-        .setDriverThreshold(threshold).computePartition(spark)
+        .setDriverThreshold(threshold).setPreset(preset).computePartition(spark)
       val t = (System.nanoTime() - t0) / 1e9
       println(f"seed=$s cut=${res.cut} feasible=${res.feasible} imb=${res.imbalance}%.4f t=$t%.1fs")
       res.cut
