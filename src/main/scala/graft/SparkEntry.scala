@@ -216,7 +216,15 @@ object SparkEntry {
     // real BPE subword tokenization (merge loop over the embedded table) — rows-only
     // (an iterative merge loop is not SQL-expressible; exact hand-computed fixtures
     // in BpeSpec). The q12 whitespace-token oracle is unchanged.
-    "q24_bpe_tokens" -> ((s, dir) => graft.textops.Bpe.bpeTokens(docs(s, dir)))
+    "q24_bpe_tokens" -> ((s, dir) => graft.textops.Bpe.bpeTokens(docs(s, dir))),
+    // CSR-shaped adjacency (P3-adjacent storage layout): ascending neighborhoods
+    // with aligned weights, verified positionally by exploding the arrays back out
+    "q25_adjacency" -> ((s, dir) =>
+      Graphs.adjacency(Graphs.bipartite(s, dir))
+        .select(col("node"),
+          posexplode(arrays_zip(col("neighbors"), col("weights"))))
+        .select(col("node"), col("pos").cast("int").as("pos"),
+          col("col.neighbors").as("neighbor"), col("col.weights").as("w")))
   )
 
   /** q10/q11 share one partition run per sf dir (the run is deterministic, and the
@@ -360,6 +368,12 @@ object SparkEntry {
     "q23_event_windows" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
         |       CAST(count(*) AS BIGINT) AS events, ROUND(sum(value), 6) AS total_value
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q25_adjacency" ->
+      s"""WITH $symSql
+         |SELECT src AS node,
+         |       CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS INT) AS pos,
+         |       dst AS neighbor, w
+         |FROM sym""".stripMargin
   )
 }

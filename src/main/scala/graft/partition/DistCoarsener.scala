@@ -164,27 +164,25 @@ object DistCoarsener {
       // per-cluster rollback only when some target was OVERSUBSCRIBED (D > allow
       // somewhere): otherwise every coin ran at p = 1 and the admitted inflow
       // provably fits, so the commit is a free projection of the staged parquet —
-      // the common case after the first supersteps. The contended commit is ALSO a
-      // lazy projection now (no second checkpoint write — the next superstep's
-      // staging checkpoint materializes it; the plan stays one superstep deep
-      // because `staged` is a parquet scan): the only eager work is a small
-      // aggregate counting the rolled-back movers, which converges/logs honestly
-      // (a superstep whose admitted moves all roll back must count as quiet)
+      // the common case after the first supersteps. The contended commit is a
+      // CHECKPOINTED rollback with the committed-move count riding the write as an
+      // Observation (one job). A lazy-projection commit was tried here and cost
+      // ~+14 s/run at sf0.1: the uncheckpointed rollback subplan (scan + agg +
+      // join) is consumed by clusterW, the gather join, and the staging join of
+      // the NEXT superstep, so Spark re-executes it ~4x inside job 1 — strictly
+      // worse than paying the one write.
       var committed = moves
       labels =
         if (contention <= 0L)
           staged.select(
             col("node"), coalesce(col("cand"), col("label")).as("label"), col("weight"))
         else {
-          val rolledMovers = staged.filter(col("cand").isNotNull)
-            .groupBy(col("cand"))
-            .agg(sum(col("weight")).as("inW"), count(lit(1)).as("cnt"))
-            .join(capacity, "cand")
-            .filter(col("inW") > col("allow"))
-            .agg(coalesce(sum(col("cnt")), lit(0L)))
-            .first().getLong(0)
-          committed = moves - rolledMovers
-          commitWithRollback(staged, capacity)
+          val cObs = org.apache.spark.sql.Observation()
+          val committedDf =
+            Ckpt(commitWithRollback(staged, capacity, Some(cObs)), "lpc-labels")
+          committed = cObs.get.get("committed").flatMap(Option(_))
+            .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+          committedDf
         }
       Log.info(
         s"lpCluster superstep $it: tentativeMoves=$moves committed=$committed contention=$contention")
@@ -241,19 +239,25 @@ object DistCoarsener {
     * two joins — no sort, no window (PlanAudit-asserted), so a hub cluster with 10^8
     * admitted movers costs the same per row as one with 10.
     */
-  private[graft] def commitWithRollback(staged: DataFrame, capacity: DataFrame): DataFrame = {
+  private[graft] def commitWithRollback(
+      staged: DataFrame,
+      capacity: DataFrame,
+      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val rolledBack = staged.filter(col("cand").isNotNull)
       .groupBy(col("cand")).agg(sum(col("weight")).as("inW"))
       .join(capacity, "cand")
       .filter(col("inW") > col("allow"))
       .select(col("cand"), lit(true).as("rb"))
-    staged
+    val withNew = staged
       .join(rolledBack, Seq("cand"), "left")
-      .select(
-        col("node"),
+      .withColumn(
+        "nl",
         when(col("cand").isNotNull && col("rb").isNull, col("cand"))
-          .otherwise(col("label")).as("label"),
-        col("weight"))
+          .otherwise(col("label")))
+    val observed = obs.fold(withNew)(o =>
+      withNew.observe(o,
+        sum(when(col("nl") =!= col("label"), 1L).otherwise(0L)).as("committed")))
+    observed.select(col("node"), col("nl").as("label"), col("weight"))
   }
 
   /** Overlay clustering (SURVEY O10, reference `coarsening/overlay_cluster_coarsener

@@ -874,8 +874,9 @@ object DistRefiner {
         // best-relative-gain members (slack for targets that fill up), capped so the
         // driver collect stays bounded at any scale — leftover overload just runs
         // another (rare) gather round. Sort-free histogram selection (round 5 —
-        // previously a per-block sort window, the last full-sort skew point).
-        val cand = Ckpt(perSrc, "bal-cand")
+        // previously a per-block sort window, the last full-sort skew point);
+        // selectTopByScore caches the gather internally, no checkpoint write
+        val cand = perSrc
         val evictTarget = overloaded
           .map(b => b -> math.min(2L * (blockW(b) - caps(b)), CollectCapPerBlock)).toMap
         // driver-side exact matching (the analog of the reference's per-block PQ loop,
@@ -1015,11 +1016,10 @@ object DistRefiner {
 
         // candidates per underloaded target covering ~2x its deficit, bounded
         // collect — sort-free histogram selection (round 5: was a per-target sort
-        // window, same skew hazard class as the overload side)
-        val cand = Ckpt(
-          toUnder.select(
-            col("src"), col("cur"), col("nw"), col("nb"), col("relGain"), col("h")),
-          "ubal-cand")
+        // window, same skew hazard class as the overload side); selectTopByScore
+        // caches the gather internally, no checkpoint write
+        val cand = toUnder.select(
+          col("src"), col("cur"), col("nw"), col("nb"), col("relGain"), col("h"))
         val pullTarget = underloaded
           .map(b => b -> math.min(2L * (lmin - blockW(b)), CollectCapPerBlock)).toMap
         val rows = selectTopByScore(cand, "nb", "relGain", pullTarget, seed + round,
@@ -1093,6 +1093,21 @@ object DistRefiner {
     * `keep`.
     */
   private[graft] def selectTopByScore(
+      cand: DataFrame,
+      grp: String,
+      score: String,
+      targetW: Map[Int, Long],
+      seed: Long,
+      keep: Seq[String]): Array[org.apache.spark.sql.Row] = {
+    // the three driver-blocking jobs below (extents, histogram, select) all scan
+    // `cand`; cache it so the candidate plan (typically a full gather) executes
+    // once — callers pass the raw plan, no checkpoint write needed
+    val cached = cand.persist()
+    try selectTopCached(cached, grp, score, targetW, seed, keep)
+    finally cached.unpersist()
+  }
+
+  private def selectTopCached(
       cand: DataFrame,
       grp: String,
       score: String,
