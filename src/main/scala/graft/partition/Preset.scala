@@ -45,9 +45,12 @@ final case class Preset(
       * boundary perturbation + full repolish, best-(feasible, cut) kept — see
       * `SeqPartitioner.ilsRefine`). 0 for fast (latency contract); the quality
       * rungs pay more. Orthogonal to `vcycles`, which is the DISTRIBUTED path's
-      * escape mechanism.
+      * escape mechanism. Depth chosen from the measured round-5 sweep on Walshaw
+      * `data` k=16 over 8 seeds (avg cut / per-seed wall): 12 → 1175 / 3–5 s,
+      * 48 → 1170 / 5–13 s, 96 → 1168 / 7–17 s, 192 → 1165 / 14–21 s — the knee
+      * is at 48; eco/strong pay for 96.
       */
-    ilsKicks: Int = 12,
+    ilsKicks: Int = 48,
     /** High-degree LP clustering filters (SURVEY P4, reference
       * `label_propagation.h:106-118`): nodes above `lpLargeDegreeThreshold` never
       * move during clustering, and nodes over `lpMaxNumNeighbors` rate only a
@@ -66,10 +69,10 @@ object Preset {
     Preset("fast", 3, 0, 0, 0, DistExtend.MinExtendK, DistExtend.CExt, ilsKicks = 0)
   val Eco: Preset =
     Preset("eco", 5, 3, 3, 3, DistExtend.MinExtendK, DistExtend.CExt, pairFmRadius = 3,
-      vcycles = 1, ilsKicks = 24)
+      vcycles = 1, ilsKicks = 96)
   val Strong: Preset =
     Preset("strong", 5, 5, 5, 3, DistExtend.MinExtendK, DistExtend.CExt, pairFmRadius = 3,
-      vcycles = 5, ilsKicks = 24)
+      vcycles = 5, ilsKicks = 96)
   val LargeK: Preset = Preset("largek", 5, 2, 3, 1, 16, 128L)
 
   def byName(name: String): Preset = name match {

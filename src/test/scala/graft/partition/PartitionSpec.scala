@@ -18,19 +18,20 @@ class WalshawQualitySpec extends SparkFunSuite {
     assert(csr.m === 2 * 15093)
   }
 
-  test("driver path: cut <= 1220, imbalance <= eps, cut self-consistent (k=16, eps=0.03)") {
+  test("driver path: cut <= 1185, imbalance <= eps, cut self-consistent (k=16, eps=0.03)") {
     val edges = MetisIO.readEdges(spark, csr)
     // threshold pinned above n: this test exercises the pure driver path (the default
     // is scale-aware and would coarsen first — covered by the distributed-path test)
     val res = Partitioner(edges).setK(16).setEpsilon(0.03).setSeed(0L)
       .setDriverThreshold(100000L).computePartition(spark)
-    // round-5 quality bar: measured 1165-1190 over 8 seeds with the ILS basin
-    // hopping (round 4/3: 1170-1197, round 2: 1178-1219, round 1: 1223-1325).
-    // Context for the absolute level: the reference's own e2e test accepts <= 2000
-    // on this instance (`dist_endtoend_test.cc:138`), and our k=2/4/8 cuts
-    // (198/411/709) sit ~5% above the long-standing Walshaw-archive bests
-    // (189/382/668) — k=16 ~1175 is inside the projected ~1130-1180 frontier band.
-    assert(res.cut <= 1200L, s"cut ${res.cut} exceeds the round-5 quality bar")
+    // round-5 quality bar: measured 1159-1179 over 8 seeds at the shipped ILS
+    // depth of 48 kicks (12 kicks: 1165-1190; round 4/3: 1170-1197, round 2:
+    // 1178-1219, round 1: 1223-1325). Context for the absolute level: the
+    // reference's own e2e test accepts <= 2000 on this instance
+    // (`dist_endtoend_test.cc:138`), and our k=2/4/8 cuts (198/411/709) sit ~5%
+    // above the long-standing Walshaw-archive bests (189/382/668) — k=16 ~1170
+    // is inside the projected ~1130-1180 frontier band.
+    assert(res.cut <= 1185L, s"cut ${res.cut} exceeds the round-5 quality bar")
     assert(res.cut <= 2000L, s"cut ${res.cut} exceeds the reference bound")
     assert(res.feasible, s"imbalance ${res.imbalance} infeasible (blockW=${res.blockWeights.mkString(",")})")
     assert(res.imbalance <= 0.03 + 1e-9)
