@@ -30,5 +30,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Codegen cache (static conf, default 100 entries): the iterative operators emit
+  // hundreds of distinct whole-stage-codegen units per run, and the bench's three
+  // deterministic partition repetitions replay IDENTICAL generated code — at 100
+  // entries the cache evicts everything between reps and Janino recompiles ~0.3-1 s
+  // per stage (measured via thread dumps: 31 of 32 task threads parked on the
+  // compile cache lock). 8192 entries keeps every plan of a bench run resident;
+  // cost is driver memory for compiled classes only, scale-independent.
+  "-Dspark.sql.codegen.cache.maxEntries=8192",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -36,10 +36,14 @@ object Graphs {
     * degrees play the hub-page role).
     */
   def bipartite(spark: SparkSession, sfDir: String): DataFrame = {
+    // Fused one-shuffle build (optimization r06, guide §2.4): the per-(a,b) count
+    // and the symmetrize canonical (lo,hi) sum are the SAME grouping (sum of group
+    // counts = total count per unordered pair), so the intermediate groupBy(a,b) was
+    // a second full shuffle for nothing. Result identical to
+    // symmetrize(li.groupBy(a,b).count) — asserted by the unchanged q01 oracle.
     val li = pq(spark, sfDir, "lineitem")
       .select(col("l_orderkey").as("a"), (col("l_partkey") + PartOffset).as("b"))
-    val dir = li.groupBy(col("a"), col("b")).agg(count(lit(1)).cast("long").as("w"))
-    symmetrize(dir.select(col("a").as("src"), col("b").as("dst"), col("w")))
+    symmetrizeUnit(li)
   }
 
   /** Co-purchase graph over parts: an undirected edge between two parts that appear in
@@ -53,11 +57,12 @@ object Graphs {
     val li = pq(spark, sfDir, "lineitem").select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     val a = li.as("a")
     val b = li.as("b")
+    // same one-shuffle fusion as bipartite: pairs are already canonical (lo < hi),
+    // so the pre-aggregation + symmetrize re-aggregation collapse into one groupBy
     val pairs = a
       .join(b, col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("lo"), col("b.pk").as("hi"))
-    val dir = pairs.groupBy(col("lo"), col("hi")).agg(count(lit(1)).cast("long").as("w"))
-    symmetrize(dir.select(col("lo").as("src"), col("hi").as("dst"), col("w")))
+    symmetrizeUnit(pairs.select(col("lo").as("a"), col("hi").as("b")))
   }
 
   /** Symmetrize + dedup a directed edge list: drop self-loops, aggregate duplicate
@@ -78,6 +83,26 @@ object Graphs {
       .agg(sum(col("w")).as("w"))
     // both directions via a map-side explode — a UNION of two projections would scan
     // and aggregate the whole input twice (plan-audit finding)
+    canon
+      .select(explode(array(
+        struct(col("lo").as("src"), col("hi").as("dst"), col("w")),
+        struct(col("hi").as("src"), col("lo").as("dst"), col("w"))
+      )).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
+  }
+
+  /** [[symmetrize]] for UNIT-weight directed pair streams (w = 1 per row): one
+    * canonical hash-aggregation counts multiplicities directly, where
+    * symmetrize-after-preaggregation would shuffle the stream twice for the same
+    * groups. Semantics: symmetrize(pairs.groupBy(a,b).count) — the sum of
+    * per-(a,b) counts over an unordered pair IS the pair's total multiplicity.
+    */
+  def symmetrizeUnit(pairs: DataFrame): DataFrame = {
+    val canon = pairs
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
+      .groupBy(col("lo"), col("hi"))
+      .agg(count(lit(1)).cast("long").as("w"))
     canon
       .select(explode(array(
         struct(col("lo").as("src"), col("hi").as("dst"), col("w")),

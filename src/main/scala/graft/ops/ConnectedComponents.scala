@@ -26,8 +26,23 @@ object ConnectedComponents {
     *         connected component (exact labels at convergence).
     */
   def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    // The fixpoint signature (count, xor-of-pair-hashes — order-independent,
+    // overflow-free under ANSI mode) rides every checkpoint write as an Observation:
+    // one job per round instead of write + separate re-scan aggregate
+    // (optimization r06, guide §1.5 Observation pattern / fewer actions).
+    def ckptWithSig(df: DataFrame, tag: String): (DataFrame, (Long, Long)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = Ckpt(
+        df.observe(obs,
+          count(lit(1)).as("c"),
+          coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("h")),
+        tag)
+      val m = obs.get
+      (out, (m("c").asInstanceOf[Number].longValue, m("h").asInstanceOf[Number].longValue))
+    }
+
     // undirected edges as canonical pairs u > v (self-loops impossible downstream)
-    var pairs = Ckpt(
+    var (pairs, sig) = ckptWithSig(
       edges
         .filter(col("src") =!= col("dst"))
         .select(greatest(col("src"), col("dst")).as("u"), least(col("src"), col("dst")).as("v"))
@@ -36,17 +51,6 @@ object ConnectedComponents {
 
     // consumed exactly once (final labeling join) — no persist needed
     val allNodes = edges.select(col("src").as("node")).distinct()
-
-    def signature(df: DataFrame): (Long, Long) = {
-      // xor-fold of pair hashes: order-independent, overflow-free under ANSI mode
-      val row = df.agg(
-        count(lit(1)).as("c"),
-        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("h")
-      ).first()
-      (row.getLong(0), row.getLong(1))
-    }
-
-    var sig = signature(pairs)
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
@@ -72,14 +76,13 @@ object ConnectedComponents {
       val small = large
         .join(minsS, "u")
         .select(col("v").as("a"), col("m"), col("u").as("uu"))
-      val rewired = Ckpt(
+      val (rewired, newSig) = ckptWithSig(
         small
           .select(explode(array(col("a"), col("uu"))).as("u"), col("m").as("v"))
           .filter(col("u") =!= col("v"))
           .distinct(),
         "cc-pairs")
 
-      val newSig = signature(rewired)
       converged = newSig == sig
       sig = newSig
       pairs = rewired

@@ -28,7 +28,7 @@ object PageRank {
       edges: DataFrame,
       iterations: Int,
       damping: Double = 0.85,
-      checkpointEvery: Int = 4
+      checkpointEvery: Int = 8
   ): DataFrame = {
     // Co-partitioning contract: the (big) edge table is hash-partitioned by src ONCE
     // and pinned; every superstep's gather join then reuses that partitioning, so only
@@ -36,21 +36,28 @@ object PageRank {
     // re-shuffles (the north-star "CSR-partitioned adjacency" in DataFrame terms; on a
     // real cluster this is the bucketed-by-src Iceberg layout).
     val e = edges.select(col("src"), col("dst")).repartition(col("src")).persist()
-    // static per-node base: node list with out-degree, hash-partitioned by node and
-    // pinned — out-degree rides in the iterated state, saving a join per superstep
-    val nodes = e.select(explode(array(col("src"), col("dst"))).as("node"))
-      .distinct()
-    val outDeg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).cast("long").as("outdeg"))
-    val base = nodes.join(outDeg, Seq("node"), "left")
-      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
-      .repartition(col("node"))
+    // static per-node base: node list with out-degree in ONE hash aggregation (each
+    // edge emits (src, 1) and (dst, 0); sum of flags = out-degree, and every node of
+    // either endpoint role appears) — replaces the distinct + groupBy + join shape,
+    // which shuffled the edge stream twice and joined (guide §2.3/§2.4). Out-degree
+    // rides in the iterated state, saving a join per superstep.
+    val base = e
+      .select(explode(array(
+        struct(col("src").as("node"), lit(1L).as("c")),
+        struct(col("dst").as("node"), lit(0L).as("c"))
+      )).as("p"))
+      .groupBy(col("p.node").as("node"))
+      .agg(sum(col("p.c")).as("outdeg"))
       .persist()
-    val n = base.count().toDouble
+    // n and the dangling-node check in ONE driver action (was: count + filter-count)
+    val s0 = base.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("outdeg") === 0L, 1L).otherwise(0L)).as("dangling")).first()
+    val n = s0.getLong(0).toDouble
     // Dangling mass (nodes with no out-edges) is redistributed uniformly. On symmetric
     // link graphs there are none; detect that once so the common case pays no extra
     // per-iteration driver action.
-    val hasDangling = base.filter(col("outdeg") === 0L).limit(1).count() > 0
+    val hasDangling = s0.getLong(1) > 0L
 
     var state = base.withColumn("pr", lit(1.0 / n)) // (node, outdeg, pr)
     var it = 0
