@@ -479,9 +479,11 @@ object DistCoarsener {
     // here would add two redundant full-table write jobs per run
     var edges = edges0
     var nodeW = nodeW0
-    var n = nodeW.count()
+    // n and totalW in one aggregation job (was two driver actions)
+    val s0 = nodeW.agg(count(lit(1)).as("n"), sum(col("weight")).as("tw")).first()
+    var n = s0.getLong(0)
     var m = if (targetM == Long.MaxValue) 0L else edges.count()
-    val totalW = nodeW.agg(sum(col("weight"))).first().getLong(0)
+    val totalW = s0.getLong(1)
     val levels = scala.collection.mutable.ArrayBuffer.empty[Level]
     var converged = false
     val C = 2000L
@@ -490,14 +492,15 @@ object DistCoarsener {
     // the driver 10^8-edge coarse graphs (round-2 judge fix #5)
     while ((n > targetN || m > targetM) && !converged) {
       val stage = s"coarsen${levels.length}"
-      val (cEdges, cNodeW, mapping) = resume.filter(_.hasNamed(s"$stage-mapping")) match {
+      val (cEdges, cNodeW, mapping, cnKnown) = resume.filter(_.hasNamed(s"$stage-mapping")) match {
         // resumable run: a committed level reloads from the run directory — the loop
         // conditions recompute deterministically from the loaded tables
         case Some(r) =>
           Log.info(s"coarsen: resuming $stage from checkpoint")
           (r.loadNamed(spark, s"$stage-cedges"),
             r.loadNamed(spark, s"$stage-cnodew"),
-            r.loadNamed(spark, s"$stage-mapping"))
+            r.loadNamed(spark, s"$stage-mapping"),
+            None: Option[Long])
         case None =>
           // max cluster weight: eps * W / clamp(n/C, 2, k)
           // (reference EPSILON_BLOCK_WEIGHT, `coarsening/max_cluster_weights.h:17-46`)
@@ -514,13 +517,21 @@ object DistCoarsener {
             nodeW, edges, cap, seed + 977L * (levels.length + 1))
           var level = contract(edges, nodeW, clustering)
           var ce = Ckpt(level.coarseEdges, "cedges")
-          var cw = Ckpt(level.coarseNodeW, "cnodew")
+          // the coarse-node count rides the cnodew checkpoint write as an
+          // Observation (r06: was a separate count job here AND a second identical
+          // count at the bottom of the loop)
+          def ckptCounted(df: DataFrame, tag: String): (DataFrame, Long) = {
+            val obs = org.apache.spark.sql.Observation()
+            val out = Ckpt(df.observe(obs, count(lit(1)).as("c")), tag)
+            (out, obs.get("c").asInstanceOf[Number].longValue)
+          }
+          var (cw, cnNow) = ckptCounted(level.coarseNodeW, "cnodew")
           var mp = Ckpt(level.mapping, "mapping")
           // two-hop rescue (O3): if the level shrank < 50%, merge singleton clusters
           // sharing a favored cluster (reference gate, `lp_clusterer.cc:164-166`).
           // Judged from the CONTRACTED node count — the common good-shrink case
           // skips the extra distinct() job; a poor shrink pays one re-contraction.
-          if (cw.count() >= (n + 1) / 2) {
+          if (cnNow >= (n + 1) / 2) {
             val rescued = Ckpt(
               twoHopMerge(spark, edges,
                 mp.select(col("node"), col("cnode").as("label")), nodeW, cap,
@@ -528,7 +539,9 @@ object DistCoarsener {
               "twohop")
             level = contract(edges, nodeW, rescued)
             ce = Ckpt(level.coarseEdges, "cedges")
-            cw = Ckpt(level.coarseNodeW, "cnodew")
+            val cwc = ckptCounted(level.coarseNodeW, "cnodew")
+            cw = cwc._1
+            cnNow = cwc._2
             mp = Ckpt(level.mapping, "mapping")
             Log.info(s"two-hop rescue applied at level ${levels.length}")
           }
@@ -541,9 +554,9 @@ object DistCoarsener {
             r.appendMetrics(levels.length, Map("stage" -> stage))
             Partitioner.failpoint(stage)
           }
-          (ce, cw, mp)
+          (ce, cw, mp, Some(cnNow))
       }
-      val cn = cNodeW.count()
+      val cn = cnKnown.getOrElse(cNodeW.count())
       val cm = if (targetM == Long.MaxValue) 0L else cEdges.count()
       Log.info(s"coarsen level ${levels.length}: n=$n -> $cn, m=$m -> $cm")
       if (cn >= n * 0.95) converged = true // <5% shrink (reference `presets.cc:186`)

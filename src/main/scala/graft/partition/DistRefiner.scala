@@ -100,19 +100,26 @@ object DistRefiner {
         "ref-part")
 
     // Superstep shape (scales like the PageRank gather — no k-key windows, no
-    // duplicated subplans, no per-round full-plan recomputation):
-    //   job 1: gather + ONE combined aggregation (argmax external block AND internal
-    //          weight in the same pass) + coin thinning -> checkpoint `accepted`;
-    //   job 2: k^2-row (from, to) delta aggregate over the checkpointed accepted —
-    //          the reference's allreduce; violating TARGET blocks roll back all their
-    //          moves this round (per-block rollback, `lp_refiner.cc:296-333` made
-    //          finer-grained);
-    //   job 3: apply surviving moves -> checkpoint part.
-    // Block weights are maintained driver-side from the deltas (k values), so the
-    // balance invariant holds exactly at every superstep end.
+    // duplicated subplans, no per-round full-plan recomputation): ONE job per
+    // superstep — the staged (node, old block, weight, tentative cand) table is a
+    // LAZY localCheckpoint (flat LogicalRDD plan; materialized by the k^2-row delta
+    // collect, the reference's allreduce). Optimization r06: this was a parquet
+    // write + a separate re-scan aggregate (2 jobs/superstep); the plan truncation
+    // is what matters (each superstep references the previous state 3x, so an
+    // untruncated chain grows the analyzed plan 3^it — measured: superstep walls
+    // 3 s, 3 s, 11 s, 77 s), and the lazy local checkpoint provides it without a
+    // storage round trip or an extra job. The function's RETURN value is parquet-
+    // checkpointed once at the end, so caller-visible lineage/stats are unchanged
+    // (LogicalRDD keeps origin stats — products over <= maxIter supersteps are
+    // bounded; the end-of-stage parquet resets them, see Ckpt's docstring).
+    // Violating TARGET blocks roll back all their moves this round (per-block
+    // rollback, `lp_refiner.cc:296-333` made finer-grained). Block weights are
+    // maintained driver-side from the deltas (k values), so the balance invariant
+    // holds exactly at every superstep end.
     val blockW: Array[Long] = blockW0.getOrElse(
       Metrics.blockWeights(part.select(col("node"), col("block")), nodeW, k))
 
+    val localCkpts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var it = 0
     var quiet = 0
     while (it < maxIter && quiet < 2) {
@@ -176,14 +183,14 @@ object DistRefiner {
         .filter(col("coin") < col("p"))
         .select(col("node"), col("cand"))
 
-      // ONE heavy job per superstep: stage (old block, tentative cand) in a single
-      // checkpoint; the k^2-row delta aggregate (the allreduce analog) reads the
-      // staged parquet, and the rollback is a lazy projection over it
-      val staged = Ckpt(
-        part
-          .join(accepted, Seq("node"), "left")
-          .select(col("node"), col("block"), col("weight"), col("cand")),
-        "ref-staged")
+      // ONE heavy job per superstep: stage (old block, tentative cand) behind a lazy
+      // local checkpoint; the k^2-row delta aggregate (the allreduce analog)
+      // materializes it, and the rollback is a lazy projection over the flat plan
+      val staged = part
+        .join(accepted, Seq("node"), "left")
+        .select(col("node"), col("block"), col("weight"), col("cand"))
+        .localCheckpoint(false)
+      localCkpts += staged
       val deltas = staged.filter(col("cand").isNotNull)
         .groupBy(col("block").as("cur"), col("cand")).agg(sum(col("weight")).as("mw"))
         .collect()
@@ -219,8 +226,28 @@ object DistRefiner {
       it += 1
     }
     lastBlockW.foreach(out => System.arraycopy(blockW, 0, out, 0, k))
-    if (weighted) part else part.select(col("node"), col("block"))
+    // the caller-visible result is a parquet checkpoint, exactly as before:
+    // downstream stages read a flat scan with fresh leaf statistics — after which
+    // the superstep local-checkpoint blocks are explicitly released (no pinned
+    // RDDs survive the call; nothing re-reads them once the output is on parquet)
+    val out = Ckpt(
+      if (weighted) part else part.select(col("node"), col("block")),
+      "ref-part-out")
+    releaseLocalCkpts(localCkpts.toSeq)
+    out
   }
+
+  /** Unpersist the RDD blocks behind lazy `localCheckpoint` staging tables. Only
+    * call once nothing can re-execute a plan referencing them (their lineage is
+    * truncated, so an evicted block cannot be recomputed).
+    */
+  private def releaseLocalCkpts(dfs: Seq[DataFrame]): Unit =
+    dfs.foreach { df =>
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+        case _ =>
+      }
+    }
 
   /** JET refiner (SURVEY O20, reference `refinement/jet/jet_refiner.cc` — a
     * bulk-synchronous refiner designed for GPUs, i.e. exactly Spark's model). Per
@@ -303,6 +330,12 @@ object DistRefiner {
         "jet-part")
     val blockW: Array[Long] = blockW0.getOrElse(
       Metrics.blockWeights(part.select(col("node"), col("block")), nodeW, k))
+    // staged tables are lazy local checkpoints instead of parquet checkpoints (r06:
+    // halves the per-round job count — the delta collect materializes the flat
+    // LogicalRDD); the winner is re-checkpointed to parquet at the end, so the
+    // caller sees the same flat lineage/stats as before, and the staging blocks
+    // are released after that write
+    val localCkpts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
     var best: DataFrame = null
     var bestCut = Long.MaxValue
@@ -430,13 +463,13 @@ object DistRefiner {
       val positives = recomputed.filter(col("toCand") - col("toCur") > 0)
       val accepted = admitProportional(positives, allowDf, seed + r)
 
-      // phase 3: ONE staged checkpoint (old block + accepted cand); the k^2-row
-      // deltas read the staged parquet, the applied partition is a projection of it
-      val staged = Ckpt(
-        part
-          .join(accepted, Seq("node"), "left")
-          .select(col("node"), col("block"), col("weight"), col("cand")),
-        "jet-staged")
+      // phase 3: ONE staged lazy local checkpoint (old block + accepted cand); the
+      // k^2-row deltas materialize it, the applied partition is a projection of it
+      val staged = part
+        .join(accepted, Seq("node"), "left")
+        .select(col("node"), col("block"), col("weight"), col("cand"))
+        .localCheckpoint(false)
+      localCkpts += staged
       val deltas = staged.filter(col("cand").isNotNull)
         .groupBy(col("block").as("cur"), col("cand")).agg(sum(col("weight")).as("mw"))
         .collect()
@@ -485,9 +518,13 @@ object DistRefiner {
     val improved =
       (bestFeasible && !firstFeasible) || (bestFeasible == firstFeasible && bestCut < firstEntering)
     Log.info(s"jet done: bestCut=$bestCut feasible=$bestFeasible improved=$improved")
-    JetResult(
+    // re-checkpoint the winner so the caller sees a flat parquet scan with fresh
+    // leaf statistics (as before), then release the staging blocks
+    val outPart = Ckpt(
       if (weighted) best else best.select(col("node"), col("block")),
-      bestCut, bestBlockW, bestFeasible, improved)
+      "jet-best")
+    releaseLocalCkpts(localCkpts.toSeq)
+    JetResult(outPart, bestCut, bestBlockW, bestFeasible, improved)
   }
 
   /** Proportional move admission (the JET capacity stage): given positive movers
@@ -749,13 +786,14 @@ object DistRefiner {
         Log.info(s"pairFM round $round: pairs=${chosen.size} moves=${moves.size} cutDelta=$totalDelta")
         if (moves.isEmpty) done = true
         else {
-          part = Ckpt(
-            part.join(broadcast(moves.toSeq.toDF("node", "pb")), Seq("node"), "left")
-              .select(
-                col("node"),
-                coalesce(col("pb"), col("block")).cast("int").as("block"),
-                col("weight")),
-            "pfm-part")
+          // lazy apply (r06: was a parquet checkpoint write per round) — broadcast
+          // join + projection; the apply chain references its predecessor exactly
+          // once per round (linear, no plan blowup) and rounds are bounded
+          part = part.join(broadcast(moves.toSeq.toDF("node", "pb")), Seq("node"), "left")
+            .select(
+              col("node"),
+              coalesce(col("pb"), col("block")).cast("int").as("block"),
+              col("weight"))
         }
       }
       round += 1
@@ -941,16 +979,19 @@ object DistRefiner {
         Log.info(s"balance round $round: moves=${moves.size} over=${overloaded.size} totalOverload=$totalOverload")
         if (moves.isEmpty) done = true // no capacity anywhere: stop (infeasible input)
         else {
+          // lazy apply (r06: was a parquet checkpoint write per round): a broadcast
+          // join + projection. Safe to leave lazy — each round's plan references the
+          // previous state exactly ONCE (the apply chain is linear, unlike the
+          // refine/JET staging, which embeds its predecessor 3x and needs the
+          // localCheckpoint truncation), and rounds are bounded by maxRounds.
           val movesDf = moves.toSeq.toDF("node", "cand")
-          part = Ckpt(
-            part
-              .join(broadcast(movesDf), Seq("node"), "left")
-              .select(
-                col("node"),
-                coalesce(col("cand"), col("block")).cast("int").as("block"),
-                col("weight")
-              ),
-            "bal-part")
+          part = part
+            .join(broadcast(movesDf), Seq("node"), "left")
+            .select(
+              col("node"),
+              coalesce(col("cand"), col("block")).cast("int").as("block"),
+              col("weight")
+            )
         }
       }
       round += 1

@@ -224,14 +224,17 @@ final class Partitioner private (
       val fineEdges =
         if (levelNo == 0) e
         else levels(levelNo - 1).coarseEdges
-      var projected = Ckpt(
-        level.mapping
-          .join(part.withColumnRenamed("node", "cnode"), "cnode")
-          .select(col("node"), col("block")),
-        "proj")
+      // the projection stays LAZY here (r06: was its own checkpoint write) — the
+      // common full-k path folds it into the weighted-part checkpoint below (one
+      // write per level instead of two); the extension path, which re-reads it per
+      // doubling, checkpoints it first
+      var projected = level.mapping
+        .join(part.withColumnRenamed("node", "cnode"), "cnode")
+        .select(col("node"), col("block"))
       // deep-MGP extension: grow k' toward k as the level can host ~CExt-node blocks;
       // the finest level always reaches full k
       if (groupsNow.exists(_._2 > 1)) {
+        projected = Ckpt(projected, "proj")
         val nLevel = fineNodeW.count()
         val targetD =
           if (levelNo == 0) 32

@@ -436,6 +436,16 @@ object SeqPartitioner {
     * boundary weight until a sweep finds no improvement.
     */
   def pairwiseFmRefine(g: CsrGraph, part: Array[Int], k: Int, lmax: Long, maxSweeps: Int = 6): Unit = {
+    // Fruitless-pair memoization (optimization r06, result-identical): fmRefine and
+    // FlowRefine are DETERMINISTIC functions of the pair-induced subgraph, which is
+    // fully determined by the membership sets of blocks a and b. A pair that found
+    // no improvement is re-attempted only after one of its two blocks changed
+    // membership (per-block version counters, bumped on every applied pair move) —
+    // re-running it on identical membership provably re-derives the identical
+    // no-improvement, so skipping cannot change the final partition. On dense coarse
+    // handoffs this removes the large majority of the O(k^2 * sweeps) FM+flow runs.
+    val blockVer = new Array[Long](k)
+    val fruitlessAt = new mutable.LongMap[(Long, Long)](64)
     var sweep = 0
     var improvedSweep = true
     while (sweep < maxSweeps && improvedSweep) {
@@ -460,25 +470,35 @@ object SeqPartitioner {
       for ((key, _) <- pairs) {
         val a = (key >>> 32).toInt
         val b = (key & 0xffffffffL).toInt
-        // induced subgraph over blocks {a, b}
-        val inPair = new Array[Int](g.n)
-        var x = 0
-        while (x < g.n) { inPair(x) = if (part(x) == a || part(x) == b) 0 else 1; x += 1 }
-        val (sub, ids) = inducedSubgraph(g, inPair, 0)
-        if (sub.n > 1) {
-          val side = new Array[Int](sub.n)
-          var j = 0
-          while (j < sub.n) { side(j) = if (part(ids(j)) == b) 1 else 0; j += 1 }
-          val before = cut(sub, side)
-          fmRefine(sub, side, lmax, lmax, slack = math.max(2 * sub.maxNodeWeight, lmax / 10))
-          // flow step (O21): min S-T cut through the border corridor — finds the
-          // non-local re-routings move-based FM cannot; rejects infeasible cuts
-          FlowRefine.refineRegion(sub, side, delta = 6, lmax, lmax)
-          if (cut(sub, side) < before) {
-            improvedSweep = true
-            j = 0
-            while (j < sub.n) { part(ids(j)) = if (side(j) == 1) b else a; j += 1 }
+        val memoFresh = fruitlessAt.get(key).exists {
+          case (va, vb) => va == blockVer(a) && vb == blockVer(b)
+        }
+        if (!memoFresh) {
+          // induced subgraph over blocks {a, b}
+          val inPair = new Array[Int](g.n)
+          var x = 0
+          while (x < g.n) { inPair(x) = if (part(x) == a || part(x) == b) 0 else 1; x += 1 }
+          val (sub, ids) = inducedSubgraph(g, inPair, 0)
+          var improvedPair = false
+          if (sub.n > 1) {
+            val side = new Array[Int](sub.n)
+            var j = 0
+            while (j < sub.n) { side(j) = if (part(ids(j)) == b) 1 else 0; j += 1 }
+            val before = cut(sub, side)
+            fmRefine(sub, side, lmax, lmax, slack = math.max(2 * sub.maxNodeWeight, lmax / 10))
+            // flow step (O21): min S-T cut through the border corridor — finds the
+            // non-local re-routings move-based FM cannot; rejects infeasible cuts
+            FlowRefine.refineRegion(sub, side, delta = 6, lmax, lmax)
+            if (cut(sub, side) < before) {
+              improvedSweep = true
+              improvedPair = true
+              j = 0
+              while (j < sub.n) { part(ids(j)) = if (side(j) == 1) b else a; j += 1 }
+              blockVer(a) += 1
+              blockVer(b) += 1
+            }
           }
+          if (!improvedPair) fruitlessAt(key) = (blockVer(a), blockVer(b))
         }
       }
       sweep += 1
@@ -597,27 +617,39 @@ object SeqPartitioner {
   private def kwayFmPass(g: CsrGraph, part: Array[Int], k: Int, caps: Array[Long], slack: Long): Boolean = {
     val n = g.n
     val blockW = blockWeights(g, part, k)
-    val ratings = new mutable.LongMap[Long](64)
+    // flat per-block rating accumulator with a stamp array (r06: was a boxed
+    // LongMap in the hottest loop — bestMove runs for every seeded node and every
+    // neighbor refresh). Result-identical: the argmax tie-break below is a TOTAL
+    // order ((gain desc, block asc)), so accumulator iteration order is irrelevant
+    // (unlike kwayLpRefine's first-seen tie-break, which keeps its LongMap).
+    val acc = new Array[Long](k)
+    val stamp = new Array[Int](k)
+    val touched = new Array[Int](k)
+    var curStamp = 0
 
     // best external move for u under the current partition; returns (gain, target)
     def bestMove(u: Int): (Long, Int) = {
-      ratings.clear()
+      curStamp += 1
+      var nt = 0
       var i = g.xadj(u)
       while (i < g.xadj(u + 1)) {
         val b = part(g.adjncy(i))
-        ratings(b.toLong) = ratings.getOrElse(b.toLong, 0L) + g.adjwgt(i)
+        if (stamp(b) != curStamp) { stamp(b) = curStamp; acc(b) = 0L; touched(nt) = b; nt += 1 }
+        acc(b) += g.adjwgt(i)
         i += 1
       }
       val cur = part(u)
-      val internal = ratings.getOrElse(cur.toLong, 0L)
+      val internal = if (stamp(cur) == curStamp) acc(cur) else 0L
       var bg = Long.MinValue
       var bt = -1
-      ratings.foreachEntry { (bL, r) =>
-        val b = bL.toInt
+      var t = 0
+      while (t < nt) {
+        val b = touched(t)
         if (b != cur && blockW(b) + g.vwgt(u) <= caps(b) + slack) {
-          val gain = r - internal
+          val gain = acc(b) - internal
           if (gain > bg || (gain == bg && b < bt)) { bg = gain; bt = b }
         }
+        t += 1
       }
       (bg, bt)
     }
@@ -666,11 +698,16 @@ object SeqPartitioner {
             heap.enqueue((gain, node))
           } else {
             val from = part(node)
+            // incremental overload update (identical value to a full overload()
+            // recompute — only the two touched blocks change)
+            curOver -= math.max(0L, blockW(from) - caps(from)) +
+              math.max(0L, blockW(target) - caps(target))
             part(node) = target
             blockW(from) -= g.vwgt(node)
             blockW(target) += g.vwgt(node)
+            curOver += math.max(0L, blockW(from) - caps(from)) +
+              math.max(0L, blockW(target) - caps(target))
             curCut -= gain
-            curOver = overload()
             locked(node) = true
             movesBuf(nMoves) = (node, from)
             nMoves += 1

@@ -93,9 +93,18 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact w-shingle Jaccard for given candidate pairs (a, b): one explode-join-agg. */
+  /** Exact w-shingle Jaccard for given candidate pairs (a, b): one explode-join-agg.
+    * Only documents that are MEMBERS of a candidate pair are shingled (r06, guide
+    * §3.2 semi-join pre-filter): at crawl scale the candidate set is a tiny fraction
+    * of the corpus, so tokenizing/shingling every document to verify a few pairs
+    * shuffled and hashed orders of magnitude more than needed. Result-identical —
+    * sizes and intersections are only ever consumed for pair members.
+    */
   def verifyJaccard(docs: DataFrame, pairs: DataFrame, w: Int = 3, seed: Long = 42L): DataFrame = {
-    val sh = shingles(docs, w, seed)
+    val members = pairs.select(col("a").as("doc_id"))
+      .unionAll(pairs.select(col("b").as("doc_id")))
+      .distinct()
+    val sh = shingles(docs.join(members, Seq("doc_id"), "left_semi"), w, seed)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("sz"))
     val inter = pairs
       .join(sh.select(col("doc_id").as("a"), col("shingle")), "a")
