@@ -26,28 +26,32 @@ object ConnectedComponents {
     *         connected component (exact labels at convergence).
     */
   def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    // The fixpoint signature (count, xor-of-pair-hashes — order-independent,
-    // overflow-free under ANSI mode) rides every checkpoint write as an Observation:
-    // one job per round instead of write + separate re-scan aggregate
-    // (optimization r06, guide §1.5 Observation pattern / fewer actions).
-    def ckptWithSig(df: DataFrame, tag: String): (DataFrame, (Long, Long)) = {
-      val obs = org.apache.spark.sql.Observation()
-      val out = Ckpt(
-        df.observe(obs,
-          count(lit(1)).as("c"),
-          coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("h")),
-        tag)
-      val m = obs.get
-      (out, (m("c").asInstanceOf[Number].longValue, m("h").asInstanceOf[Number].longValue))
+    // Per-round state staging is a LAZY localCheckpoint materialized by the fixpoint-
+    // signature aggregate (count, xor-of-pair-hashes — order-independent, overflow-
+    // free under ANSI mode): still ONE job per round, but no parquet round-trip
+    // (optimization r06, the lpRefine staging pattern — the plan truncation is what
+    // matters, and the lazy local checkpoint provides it without a storage write).
+    // LogicalRDD keeps origin stats (see Ckpt's docstring), so the state is reset to
+    // a parquet checkpoint every `statsResetEvery` rounds on LONG runs; typical runs
+    // (O(log n) rounds) never pay a mid-loop write. Blocks are released after the
+    // final parquet checkpoint below.
+    val statsResetEvery = 8
+    val localCkpts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def stageWithSig(df: DataFrame): (DataFrame, (Long, Long)) = {
+      val staged = df.localCheckpoint(false)
+      localCkpts += staged
+      val r = staged.agg(
+        count(lit(1)).as("c"),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("h")).first()
+      (staged, (r.getLong(0), r.getLong(1)))
     }
 
     // undirected edges as canonical pairs u > v (self-loops impossible downstream)
-    var (pairs, sig) = ckptWithSig(
+    var (pairs, sig) = stageWithSig(
       edges
         .filter(col("src") =!= col("dst"))
         .select(greatest(col("src"), col("dst")).as("u"), least(col("src"), col("dst")).as("v"))
-        .distinct(),
-      "cc-pairs")
+        .distinct())
 
     // consumed exactly once (final labeling join) — no persist needed
     val allNodes = edges.select(col("src").as("node")).distinct()
@@ -76,22 +80,30 @@ object ConnectedComponents {
       val small = large
         .join(minsS, "u")
         .select(col("v").as("a"), col("m"), col("u").as("uu"))
-      val (rewired, newSig) = ckptWithSig(
+      val (rewired, newSig) = stageWithSig(
         small
           .select(explode(array(col("a"), col("uu"))).as("u"), col("m").as("v"))
           .filter(col("u") =!= col("v"))
-          .distinct(),
-        "cc-pairs")
+          .distinct())
 
       converged = newSig == sig
       sig = newSig
       pairs = rewired
       it += 1
+      if (it % statsResetEvery == 0 && !converged) pairs = Ckpt(pairs, "cc-pairs")
     }
 
-    // final star forest: u -> root v; roots & isolated nodes label themselves
+    // final star forest parquet-checkpointed once (flat scan + fresh leaf stats for
+    // the caller, exactly as before), after which the staging blocks are released
+    val finalPairs = Ckpt(pairs.select(col("u"), col("v")), "cc-pairs-out")
+    localCkpts.foreach { df =>
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+        case _ =>
+      }
+    }
     allNodes
-      .join(pairs.select(col("u").as("node"), col("v").as("root")), Seq("node"), "left")
+      .join(finalPairs.select(col("u").as("node"), col("v").as("root")), Seq("node"), "left")
       .select(col("node"), coalesce(col("root"), col("node")).as("component"))
   }
 }

@@ -82,6 +82,10 @@ object DistCoarsener {
 
     var it = 0
     var quiet = 0
+    // block-backed contended commit awaiting release (superseded once the NEXT
+    // superstep's staged parquet lands; a commit that ends the loop is instead
+    // reclaimed by the ContextCleaner when the caller drops the DataFrame)
+    var staleCommit: Option[DataFrame] = None
     while (it < maxIter && quiet < 2) {
       // alternating deterministic halves (same rationale as community LP: decorrelate
       // simultaneous neighbor moves, reproducibly)
@@ -165,25 +169,44 @@ object DistCoarsener {
       // somewhere): otherwise every coin ran at p = 1 and the admitted inflow
       // provably fits, so the commit is a free projection of the staged parquet —
       // the common case after the first supersteps. The contended commit is a
-      // CHECKPOINTED rollback with the committed-move count riding the write as an
-      // Observation (one job). A lazy-projection commit was tried here and cost
-      // ~+14 s/run at sf0.1: the uncheckpointed rollback subplan (scan + agg +
-      // join) is consumed by clusterW, the gather join, and the staging join of
-      // the NEXT superstep, so Spark re-executes it ~4x inside job 1 — strictly
-      // worse than paying the one write.
+      // MATERIALIZED rollback (r06: lazy localCheckpoint fired by the committed-move
+      // count, was a parquet checkpoint — same single job and same flat-plan
+      // truncation for the next superstep's 3 consumers, no storage round-trip; an
+      // UNtruncated lazy-projection commit was tried earlier and cost ~+14 s/run at
+      // sf0.1 because the rollback subplan re-executes ~4x inside the next
+      // superstep's write). Blocks are released once the next staged write lands.
       var committed = moves
-      labels =
+      var newCommitBlocks: Option[DataFrame] = None
+      val newLabels =
         if (contention <= 0L)
           staged.select(
             col("node"), coalesce(col("cand"), col("label")).as("label"), col("weight"))
         else {
-          val cObs = org.apache.spark.sql.Observation()
-          val committedDf =
-            Ckpt(commitWithRollback(staged, capacity, Some(cObs)), "lpc-labels")
-          committed = cObs.get.get("committed").flatMap(Option(_))
-            .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
-          committedDf
+          // the commit keeps BOTH labels through the checkpoint so the committed-
+          // move count comes from the materializing aggregate itself (an
+          // Observation would not survive the checkpoint boundary — metrics
+          // attached below a lazy localCheckpoint are not delivered when a later
+          // query materializes the RDD); the old-label column is dropped by the
+          // lazy projection below, which reads the flat blocks
+          val committedFull = commitWithRollbackFull(staged, capacity)
+            .localCheckpoint(false)
+          newCommitBlocks = Some(committedFull)
+          committed = committedFull
+            .agg(sum(when(col("nl") =!= col("label"), 1L).otherwise(0L)).as("c"))
+            .first().getLong(0)
+          committedFull.select(col("node"), col("nl").as("label"), col("weight"))
         }
+      // every job referencing the PREVIOUS block-backed commit has now run (the
+      // staged write AND this superstep's rollback count, whose `capacity` subplan
+      // re-reads the previous labels) — its blocks can be released
+      staleCommit.foreach { df =>
+        df.queryExecution.analyzed match {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+          case _ =>
+        }
+      }
+      staleCommit = newCommitBlocks
+      labels = newLabels
       Log.info(
         s"lpCluster superstep $it: tentativeMoves=$moves committed=$committed contention=$contention")
       quiet = if (committed == 0L) quiet + 1 else 0
@@ -243,21 +266,32 @@ object DistCoarsener {
       staged: DataFrame,
       capacity: DataFrame,
       obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    val withNew = commitWithRollbackFull(staged, capacity)
+    val observed = obs.fold(withNew)(o =>
+      withNew.observe(o,
+        sum(when(col("nl") =!= col("label"), 1L).otherwise(0L)).as("committed")))
+    observed.select(col("node"), col("nl").as("label"), col("weight"))
+  }
+
+  /** [[commitWithRollback]] keeping the old label column: (node, label, weight, nl)
+    * — the lpCluster superstep checkpoints this and derives both the committed-move
+    * count and the new label table from the flat blocks.
+    */
+  private[graft] def commitWithRollbackFull(
+      staged: DataFrame,
+      capacity: DataFrame): DataFrame = {
     val rolledBack = staged.filter(col("cand").isNotNull)
       .groupBy(col("cand")).agg(sum(col("weight")).as("inW"))
       .join(capacity, "cand")
       .filter(col("inW") > col("allow"))
       .select(col("cand"), lit(true).as("rb"))
-    val withNew = staged
+    staged
       .join(rolledBack, Seq("cand"), "left")
       .withColumn(
         "nl",
         when(col("cand").isNotNull && col("rb").isNull, col("cand"))
           .otherwise(col("label")))
-    val observed = obs.fold(withNew)(o =>
-      withNew.observe(o,
-        sum(when(col("nl") =!= col("label"), 1L).otherwise(0L)).as("committed")))
-    observed.select(col("node"), col("nl").as("label"), col("weight"))
+      .select(col("node"), col("label"), col("weight"), col("nl"))
   }
 
   /** Overlay clustering (SURVEY O10, reference `coarsening/overlay_cluster_coarsener

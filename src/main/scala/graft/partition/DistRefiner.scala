@@ -93,11 +93,15 @@ object DistRefiner {
     // edges by the gather key once per level and pin them — see Partitioner/
     // ScalingBench/Gather.prepare — so supersteps reuse that layout and only the
     // n-row state shuffles.
-    var part =
-      if (weighted) part0.select(col("node"), col("block"), col("weight"))
-      else Ckpt(
-        part0.join(nodeW, "node").select(col("node"), col("block"), col("weight")),
-        "ref-part")
+    // r06: the unweighted entry join is a LAZY localCheckpoint (flat plan, no
+    // upfront write job) — superstep 0's staged job materializes it and its three
+    // per-superstep consumers then read the cached blocks; released with the rest.
+    val entryCkpt =
+      if (weighted) None
+      else Some(
+        part0.join(nodeW, "node").select(col("node"), col("block"), col("weight"))
+          .localCheckpoint(false))
+    var part = entryCkpt.getOrElse(part0.select(col("node"), col("block"), col("weight")))
 
     // Superstep shape (scales like the PageRank gather — no k-key windows, no
     // duplicated subplans, no per-round full-plan recomputation): ONE job per
@@ -120,6 +124,7 @@ object DistRefiner {
       Metrics.blockWeights(part.select(col("node"), col("block")), nodeW, k))
 
     val localCkpts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    entryCkpt.foreach(localCkpts += _)
     var it = 0
     var quiet = 0
     while (it < maxIter && quiet < 2) {
@@ -376,36 +381,40 @@ object DistRefiner {
         .join(
           part.select(col("node").as("src"), col("block").as("cur"), col("weight").as("nw")),
           "src")
-      // the entering cut rides the checkpoint write as an observed metric (one job:
-      // the gather + write; no second scan for the aggregate)
-      val cutObs = org.apache.spark.sql.Observation()
-      val perNode = Ckpt(
-        ratings
-          .withColumn("tb", xxhash64(col("nb"), lit(seed + r)))
-          .groupBy(col("src"), col("cur"), col("nw"))
-          .agg(
-            sum(when(col("nb") === col("cur"), col("rating")).otherwise(0L)).as("internalW"),
-            sum(when(col("nb") =!= col("cur"), col("rating")).otherwise(0L)).as("extW"),
-            max_by(
-              struct(col("nb"), col("rating")),
-              struct(
-                when(col("nb") === col("cur"), lit(Long.MinValue)).otherwise(col("rating")).as("rr"),
-                (-col("tb")).as("h"), (-col("nb")).as("n")
-              )
-            ).as("bestS")
-          )
-          .select(
-            col("src").as("node"), col("cur"), col("nw"),
-            col("bestS.nb").as("cand"),
-            (col("bestS.rating") - col("internalW")).as("gain"),
-            col("internalW"), col("extW")
-          )
-          .observe(cutObs, coalesce(sum(col("extW")), lit(0L)).as("extSum")),
-        "jet-pernode")
-
-      // the cut of the partition ENTERING this round, free from the gather
-      val cutNow = cutObs.get.get("extSum").flatMap(Option(_))
-        .map(_.asInstanceOf[Number].longValue).getOrElse(0L) / 2
+      // r06: the per-round parquet checkpoint became a lazy localCheckpoint — same
+      // flat-plan truncation (the cut aggregate and the tentative filter below read
+      // the staged n-row blocks, not the full gather plan twice), no storage
+      // round-trip per round. The entering cut comes from the MATERIALIZING
+      // aggregate itself (still one job; an Observation would not survive the
+      // checkpoint boundary — metrics attached below a lazy localCheckpoint are not
+      // delivered when a later query materializes the RDD).
+      val perNode = ratings
+        .withColumn("tb", xxhash64(col("nb"), lit(seed + r)))
+        .groupBy(col("src"), col("cur"), col("nw"))
+        .agg(
+          sum(when(col("nb") === col("cur"), col("rating")).otherwise(0L)).as("internalW"),
+          sum(when(col("nb") =!= col("cur"), col("rating")).otherwise(0L)).as("extW"),
+          max_by(
+            struct(col("nb"), col("rating")),
+            struct(
+              when(col("nb") === col("cur"), lit(Long.MinValue)).otherwise(col("rating")).as("rr"),
+              (-col("tb")).as("h"), (-col("nb")).as("n")
+            )
+          ).as("bestS")
+        )
+        .select(
+          col("src").as("node"), col("cur"), col("nw"),
+          col("bestS.nb").as("cand"),
+          (col("bestS.rating") - col("internalW")).as("gain"),
+          col("internalW"), col("extW")
+        )
+        .localCheckpoint(false)
+      localCkpts += perNode
+      // the cut of the partition ENTERING this round, from the one materializing
+      // aggregate (the job the parquet write used to be)
+      val cutNow = perNode
+        .agg(coalesce(sum(col("extW")), lit(0L)).as("extSum"))
+        .first().getLong(0) / 2
       val feasibleNow = Metrics.isBalanced(blockW, caps)
       consider(part, cutNow, feasibleNow)
       Log.info(s"jet round $r: c=$c enteringCut=$cutNow feasible=$feasibleNow")

@@ -29,15 +29,21 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).cast("long").as("copies"))
 
-  /** Word w-shingles as distinct hashed Longs (seeded xxhash64). */
-  def shingles(docs: DataFrame, w: Int = 3, seed: Long = 42L): DataFrame = {
-    val toks = TextOps.tokens(lower(col("text")))
+  /** The distinct word-w-shingle hash set of `text` as an array column (always
+    * non-null with >= 1 element — `sequence(0, greatest(.., 0))` never empties).
+    */
+  private[textops] def shingleSet(text: Column, w: Int, seed: Long): Column = {
+    val toks = TextOps.tokens(lower(text))
     val grams = transform(
       sequence(lit(0), greatest(size(toks) - w, lit(0))),
       i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(w))), lit(seed))
     )
-    docs.select(col("doc_id"), explode(array_distinct(grams)).as("shingle"))
+    array_distinct(grams)
   }
+
+  /** Word w-shingles as distinct hashed Longs (seeded xxhash64). */
+  def shingles(docs: DataFrame, w: Int = 3, seed: Long = 42L): DataFrame =
+    docs.select(col("doc_id"), explode(shingleSet(col("text"), w, seed)).as("shingle"))
 
   /** MinHash signatures: numHashes permutations approximated by seeded re-hashing of
     * the shingle hash; signature element h = min over shingles of xxhash64(shingle, h).
@@ -104,23 +110,26 @@ object Dedup {
     val members = pairs.select(col("a").as("doc_id"))
       .unionAll(pairs.select(col("b").as("doc_id")))
       .distinct()
-    val sh = shingles(docs.join(members, Seq("doc_id"), "left_semi"), w, seed)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("sz"))
-    val inter = pairs
-      .join(sh.select(col("doc_id").as("a"), col("shingle")), "a")
-      .join(sh.select(col("doc_id").as("b"), col("shingle").as("s2")), "b")
-      .filter(col("shingle") === col("s2"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).cast("long").as("inter"))
+    // The shingle set is a per-document ARRAY at parse time — the explode/groupBy
+    // round-trip of the shingle stream (sizes aggregation + pair-keyed intersection
+    // aggregation + two size-attach joins) is unnecessary for verification: attach
+    // each member's set to its pairs and take |A ∩ B| / |A ∪ B| directly
+    // (r06, guide §2.3/§2.4 — two joins instead of one agg + two joins + one agg +
+    // three joins; byte volume per pair is the same, the set travels once per pair
+    // membership in both shapes). Result-identical: sizes and intersections are the
+    // same integers (sets are array_distinct'd, never null, never empty).
+    val sets = docs.join(members, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingleSet(col("text"), w, seed).as("sh"))
     pairs
-      .join(inter, Seq("a", "b"), "left")
-      .join(sizes.select(col("doc_id").as("a"), col("sz").as("szA")), "a")
-      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szB")), "b")
+      .join(sets.select(col("doc_id").as("a"), col("sh").as("shA")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("sh").as("shB")), "b")
+      .withColumn("inter", size(array_intersect(col("shA"), col("shB"))).cast("long"))
       .select(
         col("a"), col("b"),
         round(
-          coalesce(col("inter"), lit(0L)).cast("double") /
-            (col("szA") + col("szB") - coalesce(col("inter"), lit(0L))).cast("double"),
+          col("inter").cast("double") /
+            (size(col("shA")).cast("long") + size(col("shB")).cast("long") - col("inter"))
+              .cast("double"),
           8
         ).as("jaccard")
       )
