@@ -82,10 +82,10 @@ object DistCoarsener {
 
     var it = 0
     var quiet = 0
-    // block-backed contended commit awaiting release (superseded once the NEXT
-    // superstep's staged parquet lands; a commit that ends the loop is instead
+    // block-backed staging/commit tables awaiting release (superseded once the NEXT
+    // superstep's staged blocks land; tables that end the loop are instead
     // reclaimed by the ContextCleaner when the caller drops the DataFrame)
-    var staleCommit: Option[DataFrame] = None
+    var staleBlocks: Seq[DataFrame] = Nil
     while (it < maxIter && quiet < 2) {
       // alternating deterministic halves (same rationale as community LP: decorrelate
       // simultaneous neighbor moves, reproducibly)
@@ -145,29 +145,25 @@ object DistCoarsener {
         movers.withColumnRenamed("node", "src"), capacity, seed + it)
 
       // job 1 (the heavy one — ends the gather): stage (old label, weight, tentative
-      // cand) in ONE checkpoint; the tentative-move count AND the admission
-      // contention (max D - allow over admitted rows) ride the same execution as
-      // observed metrics (no second scan, no second barrier)
-      val obs = org.apache.spark.sql.Observation()
-      val staged = Ckpt(
-        labels
-          .join(tentative, Seq("node"), "left")
-          .observe(obs,
-            sum(when(col("cand").isNotNull, 1L).otherwise(0L)).as("moves"),
-            max(when(col("cand").isNotNull, col("D") - col("allow"))
-              .otherwise(Long.MinValue)).as("contention"))
-          .select(col("node"), col("label"), col("weight"), col("cand")),
-        "lpc-staged"
-      )
-
-      val metrics = obs.get
-      val moves = metrics.get("moves").flatMap(Option(_))
-        .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
-      val contention = metrics.get("contention").flatMap(Option(_))
-        .map(_.asInstanceOf[Number].longValue).getOrElse(Long.MinValue)
+      // cand, D, allow) behind a LAZY localCheckpoint (r06: was a parquet write);
+      // the tentative-move count AND the admission contention (max D - allow over
+      // admitted rows) come from the materializing aggregate — still one job, no
+      // second scan, no storage round-trip. D/allow ride in the blocks solely for
+      // that aggregate; every downstream projection drops them.
+      val staged = labels
+        .join(tentative, Seq("node"), "left")
+        .select(col("node"), col("label"), col("weight"), col("cand"),
+          col("D"), col("allow"))
+        .localCheckpoint(false)
+      val mRow = staged.agg(
+        sum(when(col("cand").isNotNull, 1L).otherwise(0L)).as("moves"),
+        max(when(col("cand").isNotNull, col("D") - col("allow"))
+          .otherwise(Long.MinValue)).as("contention")).first()
+      val moves = if (mRow.isNullAt(0)) 0L else mRow.getLong(0)
+      val contention = if (mRow.isNullAt(1)) Long.MinValue else mRow.getLong(1)
       // per-cluster rollback only when some target was OVERSUBSCRIBED (D > allow
       // somewhere): otherwise every coin ran at p = 1 and the admitted inflow
-      // provably fits, so the commit is a free projection of the staged parquet —
+      // provably fits, so the commit is a free projection of the staged blocks —
       // the common case after the first supersteps. The contended commit is a
       // MATERIALIZED rollback (r06: lazy localCheckpoint fired by the committed-move
       // count, was a parquet checkpoint — same single job and same flat-plan
@@ -196,16 +192,16 @@ object DistCoarsener {
             .first().getLong(0)
           committedFull.select(col("node"), col("nl").as("label"), col("weight"))
         }
-      // every job referencing the PREVIOUS block-backed commit has now run (the
-      // staged write AND this superstep's rollback count, whose `capacity` subplan
-      // re-reads the previous labels) — its blocks can be released
-      staleCommit.foreach { df =>
+      // every job referencing the PREVIOUS superstep's block-backed tables has now
+      // run (this superstep's staging aggregate AND its rollback count, whose
+      // `capacity` subplan re-reads the previous labels) — release them
+      staleBlocks.foreach { df =>
         df.queryExecution.analyzed match {
           case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
           case _ =>
         }
       }
-      staleCommit = newCommitBlocks
+      staleBlocks = Seq(staged) ++ newCommitBlocks
       labels = newLabels
       Log.info(
         s"lpCluster superstep $it: tentativeMoves=$moves committed=$committed contention=$contention")
