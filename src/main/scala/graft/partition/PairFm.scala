@@ -86,10 +86,11 @@ object PairFm {
     val startOver = overload()
 
     val locked = new Array[Boolean](n)
-    val heaps = Array.fill(2)(
-      mutable.PriorityQueue.empty[(Long, Int)](Ordering.by(x => (x._1, -x._2))))
+    // primitive FmHeap — identical total order (d desc, node asc) to the tuple
+    // PriorityQueue it replaces (r06)
+    val heaps = Array.fill(2)(new FmHeap(n + 1))
     u = 0
-    while (u < n) { heaps(side(u)).enqueue((d(u), u)); u += 1 }
+    while (u < n) { heaps(side(u)).enqueue(d(u), u); u += 1 }
 
     val moves = new Array[Int](n)
     var nMoves = 0
@@ -102,7 +103,8 @@ object PairFm {
     def popValid(s: Int): Int = {
       val h = heaps(s)
       while (h.nonEmpty) {
-        val (pri, node) = h.dequeue()
+        val pri = h.headPri; val node = h.headNode
+        h.dequeue()
         if (!locked(node) && side(node) == s && d(node) == pri) return node
       }
       -1
@@ -117,9 +119,10 @@ object PairFm {
           def top(s: Int): Long = {
             val h = heaps(s)
             while (h.nonEmpty && {
-              val (pri, node) = h.head; locked(node) || side(node) != s || d(node) != pri
+              val pri = h.headPri; val node = h.headNode
+              locked(node) || side(node) != s || d(node) != pri
             }) h.dequeue()
-            if (h.isEmpty) Long.MinValue else h.head._1
+            if (h.isEmpty) Long.MinValue else h.headPri
           }
           val t0v = top(0); val t1v = top(1)
           if (t0v == Long.MinValue && t1v == Long.MinValue) -1
@@ -139,7 +142,7 @@ object PairFm {
           if (w(to) + g.vwgt(cand) <= maxW(to) && w(from) - g.vwgt(cand) >= 1L) chosen = cand
           else { rejected += cand; cand = popValid(from) }
         }
-        rejected.foreach(r => heaps(from).enqueue((d(r), r)))
+        rejected.foreach(r => heaps(from).enqueue(d(r), r))
         if (chosen < 0) continue = false
         else {
           val gain = d(chosen)
@@ -158,7 +161,7 @@ object PairFm {
             if (!locked(v)) {
               if (side(v) == to) d(v) -= 2 * g.adjwgt(i)
               else d(v) += 2 * g.adjwgt(i)
-              heaps(side(v)).enqueue((d(v), v))
+              heaps(side(v)).enqueue(d(v), v)
             }
             i += 1
           }

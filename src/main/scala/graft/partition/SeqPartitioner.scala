@@ -37,6 +37,9 @@ object SeqPartitioner {
 
   /** Dev-only stage tracing (ProbeWalshaw experiments). */
   private[graft] var Trace = false
+  private[graft] var traceExtractNs = 0L
+  private[graft] var traceFmNs = 0L
+  private[graft] var traceFlowNs = 0L
 
   final case class Result(part: Array[Int], cut: Long)
 
@@ -236,12 +239,16 @@ object SeqPartitioner {
     val pairSweeps = if (g.n > 8192) 4 else 8
     while (curCut < lastCut && polishIters < maxPolish) {
       lastCut = curCut
+      val tP0 = System.nanoTime()
       pairwiseFmRefine(g, part, k, lmax, maxSweeps = pairSweeps)
+      val tP1 = System.nanoTime()
       kwayFmRefine(g, part, k, capsFinal, slack)
+      val tP2 = System.nanoTime()
       kwayLpRefine(g, part, k, capsFinal, rand, rounds = 2)
+      val tP3 = System.nanoTime()
       curCut = cut(g, part)
       polishIters += 1
-      if (Trace) println(s"  polish#$polishIters cut=$curCut maxW=${blockWeights(g, part, k).max} t=${(System.nanoTime() - traceT0) / 1e9}")
+      if (Trace) println(f"  polish#$polishIters cut=$curCut maxW=${blockWeights(g, part, k).max} t=${(System.nanoTime() - traceT0) / 1e9} (pair=${(tP1 - tP0) / 1e9}%.2f fm=${(tP2 - tP1) / 1e9}%.2f lp=${(tP3 - tP2) / 1e9}%.2f | pairExtract=${traceExtractNs / 1e9}%.2f pairFm=${traceFmNs / 1e9}%.2f pairFlow=${traceFlowNs / 1e9}%.2f cumulative)")
     }
     // feasibility backstop (slack-tolerant refinement can strand residual overload
     // when LP eviction finds no adjacent room), then one more pairwise polish
@@ -446,14 +453,24 @@ object SeqPartitioner {
     // handoffs this removes the large majority of the O(k^2 * sweeps) FM+flow runs.
     val blockVer = new Array[Long](k)
     val fruitlessAt = new mutable.LongMap[(Long, Long)](64)
+    // pair extraction works from per-block member lists (ascending node ids), not a
+    // whole-graph scan (optimization r06, result-identical): extracting pair (a, b)
+    // costs O(|a| + |b| + incident edges) instead of O(n + m) — an ~k/2-fold cut of
+    // the dominant polish cost at k = 16. `remap` is a reusable scratch buffer that
+    // individual extractions leave fully reset to -1.
+    val remap = new Array[Int](g.n)
+    java.util.Arrays.fill(remap, -1)
+    val mem = new Array[Array[Int]](k)
     var sweep = 0
     var improvedSweep = true
     while (sweep < maxSweeps && improvedSweep) {
       improvedSweep = false
-      // boundary weight per block pair
+      // boundary weight per block pair + fresh member lists (one O(n + m) pass)
       val pairW = new mutable.LongMap[Long](64)
+      val memB = Array.fill(k)(new mutable.ArrayBuilder.ofInt)
       var u = 0
       while (u < g.n) {
+        memB(part(u)) += u
         var i = g.xadj(u)
         while (i < g.xadj(u + 1)) {
           val v = g.adjncy(i)
@@ -466,6 +483,8 @@ object SeqPartitioner {
         }
         u += 1
       }
+      var bi = 0
+      while (bi < k) { mem(bi) = memB(bi).result(); bi += 1 }
       val pairs = pairW.toSeq.sortBy { case (key, w) => (-w, key) }
       for ((key, _) <- pairs) {
         val a = (key >>> 32).toInt
@@ -474,26 +493,41 @@ object SeqPartitioner {
           case (va, vb) => va == blockVer(a) && vb == blockVer(b)
         }
         if (!memoFresh) {
-          // induced subgraph over blocks {a, b}
-          val inPair = new Array[Int](g.n)
-          var x = 0
-          while (x < g.n) { inPair(x) = if (part(x) == a || part(x) == b) 0 else 1; x += 1 }
-          val (sub, ids) = inducedSubgraph(g, inPair, 0)
+          // induced subgraph over blocks {a, b} from the member lists — identical
+          // (sub, ids) to a whole-graph inducedSubgraph scan: ids ascend (merge of
+          // two ascending disjoint lists) and neighbors keep adjacency order
+          val tE0 = if (Trace) System.nanoTime() else 0L
+          val (sub, ids) = inducedByPair(g, remap, mem(a), mem(b))
+          if (Trace) traceExtractNs += System.nanoTime() - tE0
           var improvedPair = false
           if (sub.n > 1) {
             val side = new Array[Int](sub.n)
             var j = 0
             while (j < sub.n) { side(j) = if (part(ids(j)) == b) 1 else 0; j += 1 }
             val before = cut(sub, side)
+            val tF0 = if (Trace) System.nanoTime() else 0L
             fmRefine(sub, side, lmax, lmax, slack = math.max(2 * sub.maxNodeWeight, lmax / 10))
+            val tF1 = if (Trace) System.nanoTime() else 0L
             // flow step (O21): min S-T cut through the border corridor — finds the
             // non-local re-routings move-based FM cannot; rejects infeasible cuts
             FlowRefine.refineRegion(sub, side, delta = 6, lmax, lmax)
+            if (Trace) {
+              traceFmNs += tF1 - tF0
+              traceFlowNs += System.nanoTime() - tF1
+            }
             if (cut(sub, side) < before) {
               improvedSweep = true
               improvedPair = true
+              val na = new mutable.ArrayBuilder.ofInt
+              val nb = new mutable.ArrayBuilder.ofInt
               j = 0
-              while (j < sub.n) { part(ids(j)) = if (side(j) == 1) b else a; j += 1 }
+              while (j < sub.n) {
+                if (side(j) == 1) { part(ids(j)) = b; nb += ids(j) }
+                else { part(ids(j)) = a; na += ids(j) }
+                j += 1
+              }
+              mem(a) = na.result()
+              mem(b) = nb.result()
               blockVer(a) += 1
               blockVer(b) += 1
             }
@@ -503,6 +537,56 @@ object SeqPartitioner {
       }
       sweep += 1
     }
+  }
+
+  /** Induced subgraph over the union of two disjoint ascending member lists —
+    * byte-identical output to `inducedSubgraph` over the same membership (ids
+    * ascending, neighbor order = adjacency order), at O(members + incident edges)
+    * instead of O(n + m). `remap` must be all -1 on entry and is restored on exit.
+    */
+  private def inducedByPair(
+      g: CsrGraph, remap: Array[Int],
+      membersA: Array[Int], membersB: Array[Int]): (CsrGraph, Array[Int]) = {
+    val n2 = membersA.length + membersB.length
+    val ids = new Array[Int](n2)
+    var ia = 0; var ib = 0; var t = 0
+    while (t < n2) {
+      val takeA = ib >= membersB.length ||
+        (ia < membersA.length && membersA(ia) < membersB(ib))
+      if (takeA) { ids(t) = membersA(ia); ia += 1 } else { ids(t) = membersB(ib); ib += 1 }
+      t += 1
+    }
+    var i = 0
+    while (i < n2) { remap(ids(i)) = i; i += 1 }
+    val xadj2 = new Array[Int](n2 + 1)
+    i = 0
+    while (i < n2) {
+      val u = ids(i)
+      var d = 0
+      var j = g.xadj(u)
+      while (j < g.xadj(u + 1)) { if (remap(g.adjncy(j)) >= 0) d += 1; j += 1 }
+      xadj2(i + 1) = xadj2(i) + d
+      i += 1
+    }
+    val adj2 = new Array[Int](xadj2(n2))
+    val wgt2 = new Array[Long](xadj2(n2))
+    val vw2 = new Array[Long](n2)
+    i = 0
+    while (i < n2) {
+      val u = ids(i)
+      vw2(i) = g.vwgt(u)
+      var p = xadj2(i)
+      var j = g.xadj(u)
+      while (j < g.xadj(u + 1)) {
+        val rv = remap(g.adjncy(j))
+        if (rv >= 0) { adj2(p) = rv; wgt2(p) = g.adjwgt(j); p += 1 }
+        j += 1
+      }
+      i += 1
+    }
+    i = 0
+    while (i < n2) { remap(ids(i)) = -1; i += 1 }
+    (new CsrGraph(xadj2, adj2, wgt2, vw2), ids)
   }
 
   /** Induced subgraph of one block (SURVEY P5 role during extension). */
@@ -654,7 +738,7 @@ object SeqPartitioner {
       (bg, bt)
     }
 
-    val heap = mutable.PriorityQueue.empty[(Long, Int)](Ordering.by(x => (x._1, -x._2)))
+    val heap = new FmHeap(n + 1)
     val locked = new Array[Boolean](n)
     var u = 0
     while (u < n) {
@@ -667,7 +751,7 @@ object SeqPartitioner {
       }
       if (boundary) {
         val (gain, t) = bestMove(u)
-        if (t >= 0) heap.enqueue((gain, u))
+        if (t >= 0) heap.enqueue(gain, u)
       }
       u += 1
     }
@@ -689,13 +773,14 @@ object SeqPartitioner {
     var fruitless = 0
 
     while (heap.nonEmpty && fruitless < FruitlessMoves && nMoves < n) {
-      val (heapGain, node) = heap.dequeue()
+      val heapGain = heap.headPri; val node = heap.headNode
+      heap.dequeue()
       if (!locked(node)) {
         val (gain, target) = bestMove(node)
         if (target >= 0) {
           if (gain != heapGain) {
             // stale entry: re-insert with the fresh key
-            heap.enqueue((gain, node))
+            heap.enqueue(gain, node)
           } else {
             val from = part(node)
             // incremental overload update (identical value to a full overload()
@@ -720,7 +805,7 @@ object SeqPartitioner {
               val v = g.adjncy(i)
               if (!locked(v)) {
                 val (gv, tv) = bestMove(v)
-                if (tv >= 0) heap.enqueue((gv, v))
+                if (tv >= 0) heap.enqueue(gv, v)
               }
               i += 1
             }
@@ -1064,7 +1149,7 @@ object SeqPartitioner {
     var w0 = 0L
     var assigned = 0
     // lazy-deletion max-heap of (priority, node); BFS mode uses FIFO order instead
-    val heap = mutable.PriorityQueue.empty[(Long, Int)](Ordering.by(x => (x._1, -x._2)))
+    val heap = new FmHeap(g.n + 1)
     val queue = mutable.Queue.empty[Int]
     val gain = new Array[Long](g.n) // accumulated edge weight into the growing block
 
@@ -1077,7 +1162,7 @@ object SeqPartitioner {
       if (s < 0) { var u2 = 0; while (s < 0 && u2 < g.n) { if (side(u2) == 1) s = u2; u2 += 1 } }
       if (s < 0) false
       else {
-        if (byGain) heap.enqueue((0L, s)) else queue.enqueue(s)
+        if (byGain) heap.enqueue(0L, s) else queue.enqueue(s)
         inQueue(s) = true
         true
       }
@@ -1085,7 +1170,7 @@ object SeqPartitioner {
 
     while (w0 < t0 && assigned < g.n) {
       if (frontierEmpty && !seedFrontier()) return side
-      val u = if (byGain) heap.dequeue()._2 else queue.dequeue()
+      val u = if (byGain) { val h = heap.headNode; heap.dequeue(); h } else queue.dequeue()
       if (side(u) == 1) { // not yet taken (lazy deletion)
         side(u) = 0
         w0 += g.vwgt(u)
@@ -1095,7 +1180,7 @@ object SeqPartitioner {
           val v = g.adjncy(i)
           if (side(v) == 1) {
             gain(v) += g.adjwgt(i)
-            if (byGain) heap.enqueue((gain(v), v))
+            if (byGain) heap.enqueue(gain(v), v)
             else if (!inQueue(v)) { queue.enqueue(v); inQueue(v) = true }
           }
           i += 1
@@ -1165,10 +1250,11 @@ object SeqPartitioner {
     val startOver = overload(w(0), w(1))
 
     val locked = new Array[Boolean](n)
-    // two lazy-deletion heaps keyed by D-value
-    val heaps = Array.fill(2)(mutable.PriorityQueue.empty[(Long, Int)](Ordering.by(x => (x._1, -x._2))))
+    // two lazy-deletion heaps keyed by D-value (primitive FmHeap — identical total
+    // order (d desc, node asc) to the tuple PriorityQueue it replaces, r06)
+    val heaps = Array.fill(2)(new FmHeap(n + 1))
     u = 0
-    while (u < n) { heaps(side(u)).enqueue((d(u), u)); u += 1 }
+    while (u < n) { heaps(side(u)).enqueue(d(u), u); u += 1 }
 
     val moves = new Array[Int](n)
     var nMoves = 0
@@ -1180,7 +1266,8 @@ object SeqPartitioner {
     def popValid(s: Int): Int = {
       val h = heaps(s)
       while (h.nonEmpty) {
-        val (pri, node) = h.dequeue()
+        val pri = h.headPri; val node = h.headNode
+        h.dequeue()
         if (!locked(node) && side(node) == s && d(node) == pri) return node
       }
       -1
@@ -1197,9 +1284,10 @@ object SeqPartitioner {
           def top(s: Int): Long = {
             val h = heaps(s)
             while (h.nonEmpty && {
-              val (pri, node) = h.head; locked(node) || side(node) != s || d(node) != pri
+              val pri = h.headPri; val node = h.headNode
+              locked(node) || side(node) != s || d(node) != pri
             }) h.dequeue()
-            if (h.isEmpty) Long.MinValue else h.head._1
+            if (h.isEmpty) Long.MinValue else h.headPri
           }
           val t0v = top(0); val t1v = top(1)
           if (t0v == Long.MinValue && t1v == Long.MinValue) -1
@@ -1226,7 +1314,7 @@ object SeqPartitioner {
           if (fits || reducesOverload) chosen = u2
           else { rejected += u2; u2 = popValid(from) }
         }
-        rejected.foreach(r => heaps(from).enqueue((d(r), r)))
+        rejected.foreach(r => heaps(from).enqueue(d(r), r))
         if (chosen < 0) {
           continue = false
         } else {
@@ -1245,7 +1333,7 @@ object SeqPartitioner {
             if (!locked(v)) {
               if (side(v) == to) d(v) -= 2 * g.adjwgt(i)
               else d(v) += 2 * g.adjwgt(i)
-              heaps(side(v)).enqueue((d(v), v))
+              heaps(side(v)).enqueue(d(v), v)
             }
             i += 1
           }

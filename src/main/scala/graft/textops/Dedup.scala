@@ -47,7 +47,12 @@ object Dedup {
 
   /** MinHash signatures: numHashes permutations approximated by seeded re-hashing of
     * the shingle hash; signature element h = min over shingles of xxhash64(shingle, h).
-    * One explode + one groupBy(doc) aggregation.
+    * One explode + one groupBy(doc) aggregation. (An array_min-over-shingle-array
+    * projection was tried in r06 and measured 45x WORSE: higher-order functions run
+    * outside whole-stage codegen with no subexpression elimination, so every one of
+    * the 32 signature references — and each downstream band key — re-evaluated the
+    * whole tokenize+shingle tree. The aggregation barrier materializes signature
+    * VALUES once; its shuffle carries 32 longs per doc, which is the cheap part.)
     */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 32, w: Int = 3, seed: Long = 42L): DataFrame = {
     val sh = shingles(docs, w, seed)
