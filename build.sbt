@@ -38,5 +38,18 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // compile cache lock). 8192 entries keeps every plan of a bench run resident;
   // cost is driver memory for compiled classes only, scale-independent.
   "-Dspark.sql.codegen.cache.maxEntries=8192",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // r06 measured A/B (medians of full bench runs at sf0.1/local[32]): 16g heap
+  // stabilizes the 32-task-slot local driver (8g left ~4.6 GiB storage+execution
+  // for 32 concurrent tasks; the partition rep spread shrank and total dropped
+  // ~8%), and the throughput collector fits a batch bench with no latency SLA
+  // (total 93.8 -> 90.4). Both are JVM-level settings, not query-shape settings —
+  // cluster deployments size executor memory independently of this local default.
+  // (spark.sql.join.preferSortMergeJoin=false was A/B'd too and REGRESSED the
+  // coarsen stage 10.5 -> 15.3 s; rejected.)
+  "-XX:+UseParallelGC",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
+// measurement hook: extra JVM/system-property flags for A/B experiments
+// (e.g. GC choice, spark.* conf defaults) without editing the build per run
+javaOptions ++= sys.env.get("GRAFT_EXTRA_JVM_OPTS")
+  .map(_.trim.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)

@@ -60,22 +60,31 @@ object ConnectedComponents {
     while (it < maxIter && !converged) {
       // large-star: per node u over full neighborhood Γ(u) (both directions),
       // m = min(Γ(u) ∪ {u}); connect every strictly larger neighbor to m.
+      // Exchange discipline (r06, guide §2.4): each phase's stream is hash-
+      // partitioned by `u` exactly ONCE — the min aggregation, the min-join and the
+      // dedup (distinct = groupBy(u, v), for which HashPartitioning(u) suffices)
+      // all reuse that one layout, where the unpartitioned stream re-exchanged for
+      // each of them (6 m-row exchanges per round, now 3).
       val sym = pairs
         .select(explode(array(
           struct(col("u"), col("v")),
           struct(col("v").as("u"), col("u").as("v"))
         )).as("e"))
         .select(col("e.u").as("u"), col("e.v").as("v"))
+        .repartition(col("u"))
       val mins = sym.groupBy(col("u")).agg(least(min(col("v")), first(col("u"))).as("m"))
       val large = sym
         .join(mins, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
+        .repartition(col("u"))
         .distinct()
 
       // small-star: orient larger -> smaller (already canonical in `large`),
       // per node u with smaller neighbors Γ<(u): m = min; connect u and all of Γ< to m.
+      // `large` is already partitioned by u, so the aggregation and join are
+      // exchange-free.
       val minsS = large.groupBy(col("u")).agg(min(col("v")).as("m"))
       val small = large
         .join(minsS, "u")
@@ -84,6 +93,7 @@ object ConnectedComponents {
         small
           .select(explode(array(col("a"), col("uu"))).as("u"), col("m").as("v"))
           .filter(col("u") =!= col("v"))
+          .repartition(col("u"))
           .distinct())
 
       converged = newSig == sig

@@ -35,7 +35,12 @@ object PageRank {
     // the n-row state table moves through the shuffle — the edge table never
     // re-shuffles (the north-star "CSR-partitioned adjacency" in DataFrame terms; on a
     // real cluster this is the bucketed-by-src Iceberg layout).
-    val e = edges.select(col("src"), col("dst")).repartition(col("src")).persist()
+    // sortWithinPartitions(src): the cached table carries its output ordering, so
+    // every superstep's sort-merge gather join skips re-sorting the m-row edge side
+    // (r06; the at-rest analog is a bucketed+sorted-by-src Iceberg layout) — only
+    // the n-row rank state is sorted per superstep.
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).sortWithinPartitions(col("src")).persist()
     // static per-node base: node list with out-degree in ONE hash aggregation (each
     // edge emits (src, 1) and (dst, 0); sum of flags = out-degree, and every node of
     // either endpoint role appears) — replaces the distinct + groupBy + join shape,

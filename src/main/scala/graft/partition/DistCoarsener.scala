@@ -76,7 +76,9 @@ object DistCoarsener {
       if (hubDegThreshold > 0L)
         Gather.prepare(gatherInput, hubDegThreshold)
       else
-        Gather.plain(gatherInput.repartition(col("dst")).persist())
+        // sorted cache: superstep gather joins on dst skip the m-row sort (r06)
+        Gather.plain(
+          gatherInput.repartition(col("dst")).sortWithinPartitions(col("dst")).persist())
     val e = ge.e
     var labels = Ckpt(nodeW.select(col("node"), col("node").as("label"), col("weight")), "lpc-labels")
 
@@ -100,11 +102,19 @@ object DistCoarsener {
 
       // gather: per (active node, neighbor label) summed edge weight. Agg-then-join
       // shape: the m-row stream shuffles once into the (src, nl) aggregation; the
-      // n-row active state joins the (already small) aggregate after.
+      // n-row active state joins the (already small) aggregate after. Exchange
+      // discipline (r06, guide §2.4): the cluster weight rides THROUGH the gather as
+      // label payload (one n-row join by label) so the cap pre-filter is a plain
+      // filter, not an m-row join by nl — and the explicit repartition(src) is the
+      // superstep's only m-row exchange, reused by the (src, nl) aggregation, the
+      // active join and the argmax below (each used to re-exchange the stream).
       val ratings = Gather
-        .joinLabels(ge, labels.select(col("node"), col("label").as("nl")))
+        .joinLabels(ge,
+          labels.join(clusterW, "label")
+            .select(col("node"), col("label").as("nl"), col("cw")))
+        .repartition(col("src"))
         .groupBy(col("src"), col("nl"))
-        .agg(sum(col("w")).as("rating"))
+        .agg(sum(col("w")).as("rating"), max(col("cw")).as("cw")) // cw constant per nl
         .join(
           active.select(col("node").as("src"), col("label").as("cur"), col("weight").as("nw")),
           "src"
@@ -115,7 +125,6 @@ object DistCoarsener {
       // arrivals). Moving to own label is a no-op, filter it late so `cur` rating is
       // still available for gain.
       val candidates = ratings
-        .join(clusterW.select(col("label").as("nl"), col("cw")), "nl")
         .filter(col("nl") === col("cur") || (col("cw") + col("nw")) <= cap)
         .withColumn("tb", xxhash64(col("nl"), lit(seed)))
         .groupBy(col("src"), col("cur"), col("nw"))
@@ -503,7 +512,13 @@ object DistCoarsener {
       resume: Option[graft.util.RunCheckpoint] = None,
       hubDegThreshold: Long = 0L,
       largeDegThreshold: Long = Long.MaxValue,
-      maxNumNeighbors: Long = Long.MaxValue
+      maxNumNeighbors: Long = Long.MaxValue,
+      /** The FINEST level's node set is known to contain no isolated nodes (true
+        * when the caller derived it as the distinct edge endpoints) — skip level 0's
+        * isolated-node scan (one m-row anti-join + count job, provably empty).
+        * Coarse levels always check: contraction can isolate a coarse node.
+        */
+      noIsolatedFinest: Boolean = false
   ): (Seq[DistCoarsener.Level], DataFrame, DataFrame) = {
     // callers pass already-checkpointed inputs (Partitioner does); re-checkpointing
     // here would add two redundant full-table write jobs per run
@@ -540,11 +555,13 @@ object DistCoarsener {
           // cannot shrink them, so without this an isolated-heavy graph (dangling
           // URLs are ~half a crawl's vertex set) never coarsens its singleton tail.
           // Across levels the pairs re-chain into 4s, 8s, ... until the cap binds.
-          val clustering = chainIsolated(spark,
-            lpCluster(spark, edges, nodeW, cap, maxIter = 5,
-              seed = seed + levels.length, hubDegThreshold = hubDegThreshold,
-              largeDegThreshold = largeDegThreshold, maxNumNeighbors = maxNumNeighbors),
-            nodeW, edges, cap, seed + 977L * (levels.length + 1))
+          val lpOut = lpCluster(spark, edges, nodeW, cap, maxIter = 5,
+            seed = seed + levels.length, hubDegThreshold = hubDegThreshold,
+            largeDegThreshold = largeDegThreshold, maxNumNeighbors = maxNumNeighbors)
+          val clustering =
+            if (noIsolatedFinest && levels.isEmpty) lpOut
+            else chainIsolated(spark, lpOut,
+              nodeW, edges, cap, seed + 977L * (levels.length + 1))
           var level = contract(edges, nodeW, clustering)
           var ce = Ckpt(level.coarseEdges, "cedges")
           // the coarse-node count rides the cnodew checkpoint write as an

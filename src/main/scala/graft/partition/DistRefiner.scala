@@ -120,8 +120,7 @@ object DistRefiner {
     // rollback, `lp_refiner.cc:296-333` made finer-grained). Block weights are
     // maintained driver-side from the deltas (k values), so the balance invariant
     // holds exactly at every superstep end.
-    val blockW: Array[Long] = blockW0.getOrElse(
-      Metrics.blockWeights(part.select(col("node"), col("block")), nodeW, k))
+    val blockW: Array[Long] = blockW0.getOrElse(Metrics.blockWeightsW(part, k))
 
     val localCkpts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     entryCkpt.foreach(localCkpts += _)
@@ -137,9 +136,14 @@ object DistRefiner {
 
       // gather: per (active node, adjacent block) summed edge weight (agg-then-join:
       // m-row stream shuffles once; the n-row active state joins the aggregate), then
-      // ONE aggregation yielding both the internal weight and the best external block
+      // ONE aggregation yielding both the internal weight and the best external block.
+      // The explicit repartition(src) is the superstep's ONLY m-row exchange (r06,
+      // guide §2.4): hash-partitioning by src lets the (src, nb) aggregation, the
+      // active-state join AND the per-node argmax below all reuse the same layout —
+      // without it each of those re-exchanged the stream ((src, nb), then src).
       val ratings = Gather
         .joinLabels(ge, part.select(col("node"), col("block").as("nb")))
+        .repartition(col("src"))
         .groupBy(col("src"), col("nb"))
         .agg(sum(col("w")).as("rating"))
         .join(
@@ -333,8 +337,7 @@ object DistRefiner {
       else Ckpt(
         part0.join(nodeW, "node").select(col("node"), col("block"), col("weight")),
         "jet-part")
-    val blockW: Array[Long] = blockW0.getOrElse(
-      Metrics.blockWeights(part.select(col("node"), col("block")), nodeW, k))
+    val blockW: Array[Long] = blockW0.getOrElse(Metrics.blockWeightsW(part, k))
     // staged tables are lazy local checkpoints instead of parquet checkpoints (r06:
     // halves the per-round job count — the delta collect materializes the flat
     // LogicalRDD); the winner is re-checkpointed to parquet at the end, so the
@@ -376,6 +379,7 @@ object DistRefiner {
       // (map-side partial agg), never a second time for the src-side join.
       val ratings = Gather
         .joinLabels(ge, part.select(col("node"), col("block").as("nb")))
+        .repartition(col("src")) // the round's only m-row exchange (r06, guide §2.4)
         .groupBy(col("src"), col("nb"))
         .agg(sum(col("w")).as("rating"))
         .join(
@@ -446,6 +450,7 @@ object DistRefiner {
       // then the (small) tentative mover table joins the aggregate
       val recomputed = Gather
         .joinLabels(ge, tentLabels.select(col("node"), col("tblock").as("tnb")))
+        .repartition(col("src")) // same single-exchange gather shape as phase 1
         .groupBy(col("src"), col("tnb"))
         .agg(sum(col("w")).as("tw"))
         .join(tentative.select(col("node").as("src"), col("cur"), col("cand"), col("nw")), "src")
@@ -629,14 +634,18 @@ object DistRefiner {
         val pmDf = broadcast(
           chosen.toSeq.zipWithIndex.flatMap { case ((a, b), i) => Seq((a, i, 0), (b, i, 1)) }
             .toDF("blk", "pid", "s"))
+        // round-scoped caches (r06: were parquet write+read round-trips — the
+        // multi-consumer reuse is what matters, not durability; released at the end
+        // of the round)
+        val roundCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        def cache(df: DataFrame): DataFrame = { val c = df.persist(); roundCaches += c; c }
         // 2. pair-internal edge stream (both directions; third-block edges excluded)
-        val pe = Ckpt(
+        val pe = cache(
           edges.join(pd, "dst").join(ps, "src")
             .join(pmDf.select(col("blk").as("sb"), col("pid").as("spid"), col("s").as("ss")), "sb")
             .join(pmDf.select(col("blk").as("db"), col("pid").as("dpid"), col("s").as("ds")), "db")
             .filter(col("spid") === col("dpid"))
-            .select(col("src"), col("dst"), col("w"), col("spid").as("pid"), col("ss"), col("ds")),
-          "pfm-pe")
+            .select(col("src"), col("dst"), col("w"), col("spid").as("pid"), col("ss"), col("ds")))
         // border region: cut-edge endpoints + `radius - 1` BFS hops inside the pair
         var region = pe.filter(col("ss") =!= col("ds")).select(col("src").as("node"), col("pid")).distinct()
         var hop = 1
@@ -648,7 +657,7 @@ object DistRefiner {
             .distinct()
           hop += 1
         }
-        region = Ckpt(region, "pfm-region")
+        region = cache(region)
         // bounded collect: probabilistic thinning per over-cap pair (nodes thinned
         // out simply become fixed attachments — correctness is unaffected)
         val sizes = region.groupBy(col("pid")).agg(count(lit(1)).as("c")).collect()
@@ -657,13 +666,12 @@ object DistRefiner {
         if (over.nonEmpty) {
           val fracDf = broadcast(
             over.toSeq.map { case (pid, c) => (pid, regionCap.toDouble / c) }.toDF("pid", "frac"))
-          region = Ckpt(
+          region = cache(
             region.join(fracDf, Seq("pid"), "left")
               .filter(
                 col("frac").isNull ||
                   pmod(xxhash64(col("node"), lit(seed + round)), lit(1000000L)).cast("double") / 1e6 < col("frac"))
-              .select(col("node"), col("pid")),
-            "pfm-region-thin")
+              .select(col("node"), col("pid")))
         }
         // EDGE bound on the driver collect (round-4 judge fix #3): `regionCap`
         // bounds region NODES, but a 200k-node border region of a web graph can
@@ -688,14 +696,13 @@ object DistRefiner {
             eCnt.filter(_._2 > edgeCapRows).toSeq
               .map { case (pid, c) => (pid, math.sqrt(edgeCapRows.toDouble / c)) }
               .toDF("pid", "frac"))
-          region = Ckpt(
+          region = cache(
             region.join(fracDf, Seq("pid"), "left")
               .filter(
                 col("frac").isNull ||
                   pmod(xxhash64(col("node"), lit(seed + round), lit(100 + thinPass)),
                     lit(1000000L)).cast("double") / 1e6 < col("frac"))
-              .select(col("node"), col("pid")),
-            "pfm-region-ethin")
+              .select(col("node"), col("pid")))
           eCnt = edgeCountByPid(region)
           thinPass += 1
         }
@@ -703,28 +710,41 @@ object DistRefiner {
         if (skippedPids.nonEmpty) {
           Log.info(s"pairFM round $round: skipping hub-dense pairs $skippedPids " +
             s"(internal edges still above $edgeCapRows after thinning)")
-          region = Ckpt(
-            region.filter(!col("pid").isin(skippedPids.toSeq.map(Int.box): _*)),
-            "pfm-region-skip")
+          region = cache(
+            region.filter(!col("pid").isin(skippedPids.toSeq.map(Int.box): _*)))
         }
 
-        // 3. three bounded collects: members, region-internal edges, attachments
-        val members = region.join(part, "node")
-          .select(col("node"), col("pid"), col("block"), col("weight"))
-          .collect()
-          .map(r => (r.getLong(0), r.getAs[Number](1).intValue(), r.getAs[Number](2).intValue(), r.getLong(3)))
+        // 3. three bounded collects: members, region-internal edges, attachments —
+        // mutually independent Spark actions, submitted concurrently so their fixed
+        // per-job costs overlap and the tail of one backfills the others (guide
+        // §2.6); all downstream consumers sort/group the rows, so collect order is
+        // irrelevant (CsrGraph.fromEdges sorts, ext accumulation is commutative)
         val rSrc = region.select(col("node").as("src"), col("pid"))
         val rDst = region.select(col("node").as("dst"), col("pid"))
-        val internal = pe.join(rSrc, Seq("src", "pid")).join(rDst, Seq("dst", "pid"))
-          .select(col("src"), col("dst"), col("w"), col("pid"))
-          .collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getAs[Number](3).intValue()))
-        val attach = pe.join(rSrc, Seq("src", "pid"))
-          .join(rDst, Seq("dst", "pid"), "left_anti")
-          .groupBy(col("src"), col("pid"), col("ds"))
-          .agg(sum(col("w")).as("att"))
-          .collect()
-          .map(r => (r.getLong(0), r.getAs[Number](1).intValue(), r.getAs[Number](2).intValue(), r.getLong(3)))
+        val (members, internal, attach) = {
+          import scala.concurrent.{Await, Future, ExecutionContext}
+          import scala.concurrent.duration.Duration
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+          implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+          try {
+            val fm = Future(region.join(part, "node")
+              .select(col("node"), col("pid"), col("block"), col("weight"))
+              .collect()
+              .map(r => (r.getLong(0), r.getAs[Number](1).intValue(), r.getAs[Number](2).intValue(), r.getLong(3))))
+            val fi = Future(pe.join(rSrc, Seq("src", "pid")).join(rDst, Seq("dst", "pid"))
+              .select(col("src"), col("dst"), col("w"), col("pid"))
+              .collect()
+              .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getAs[Number](3).intValue())))
+            val fa = Future(pe.join(rSrc, Seq("src", "pid"))
+              .join(rDst, Seq("dst", "pid"), "left_anti")
+              .groupBy(col("src"), col("pid"), col("ds"))
+              .agg(sum(col("w")).as("att"))
+              .collect()
+              .map(r => (r.getLong(0), r.getAs[Number](1).intValue(), r.getAs[Number](2).intValue(), r.getLong(3))))
+            (Await.result(fm, Duration.Inf), Await.result(fi, Duration.Inf),
+              Await.result(fa, Duration.Inf))
+          } finally pool.shutdown()
+        }
 
         // 4. driver FM + flow per pair — pairs are INDEPENDENT (a matching: disjoint
         // blocks, disjoint nodes), so they run on a local pool; this driver stage is
@@ -793,6 +813,9 @@ object DistRefiner {
           }
         }
         Log.info(s"pairFM round $round: pairs=${chosen.size} moves=${moves.size} cutDelta=$totalDelta")
+        // everything derived from the round caches is now driver-side data; the
+        // lazy apply below references only `part` + a broadcast of `moves`
+        roundCaches.foreach(_.unpersist(false))
         if (moves.isEmpty) done = true
         else {
           // lazy apply (r06: was a parquet checkpoint write per round) — broadcast
@@ -869,8 +892,7 @@ object DistRefiner {
       else Ckpt(
         part0.join(nodeW, "node").select(col("node"), col("block"), col("weight")),
         "bal-part")
-    val blockW = blockW0.getOrElse(
-      Metrics.blockWeights(part.select(col("node"), col("block")), nodeW, k))
+    val blockW = blockW0.getOrElse(Metrics.blockWeightsW(part, k))
     var round = 0
     var done = false
     while (round < maxRounds && !done) {
@@ -889,6 +911,7 @@ object DistRefiner {
         // alternatives when a residual fills up
         val ratings = edges
           .join(part.select(col("node").as("dst"), col("block").as("nb")), "dst")
+          .repartition(col("src")) // single m-row exchange (r06, guide §2.4)
           .groupBy(col("src"), col("nb"))
           .agg(sum(col("w")).as("rating"))
           .join(members, "src")
@@ -1035,8 +1058,7 @@ object DistRefiner {
     var part = Ckpt(
       part0.join(nodeW, "node").select(col("node"), col("block"), col("weight")),
       "ubal-part")
-    val blockW = blockW0.getOrElse(
-      Metrics.blockWeights(part.select(col("node"), col("block")), nodeW, k))
+    val blockW = blockW0.getOrElse(Metrics.blockWeightsW(part, k))
     var round = 0
     var done = lmin <= 0L
     while (round < maxRounds && !done) {
@@ -1052,6 +1074,7 @@ object DistRefiner {
           .select(col("node").as("src"), col("block").as("cur"), col("weight").as("nw"))
         val ratings = edges
           .join(part.select(col("node").as("dst"), col("block").as("nb")), "dst")
+          .repartition(col("src")) // single m-row exchange (r06, guide §2.4)
           .groupBy(col("src"), col("nb"))
           .agg(sum(col("w")).as("rating"))
           .join(members, "src")

@@ -43,6 +43,7 @@ object Gather {
         when(col("hub").isNotNull, pmod(xxhash64(col("src"), lit(7L)), lit(nSalt.toLong)))
           .otherwise(lit(0L)).as("salt"))
       .repartition(col("dst"), col("salt"))
+      .sortWithinPartitions(col("dst"), col("salt"))
       .persist()
     GatherEdges(salted, Some(hubs), nSalt)
   }

@@ -32,9 +32,16 @@ object Metrics {
   }
 
   /** M5: per-block weight table (k rows). `nodeW` = (node, weight). */
-  def blockWeights(part: DataFrame, nodeW: DataFrame, k: Int): Array[Long] = {
-    val rows = part
-      .join(nodeW, "node")
+  def blockWeights(part: DataFrame, nodeW: DataFrame, k: Int): Array[Long] =
+    blockWeightsW(part.join(nodeW, "node"), k)
+
+  /** [[blockWeights]] over an already-weighted (node, block, weight) table — the
+    * refiners' entry tables carry the weight column, so re-joining nodeW (at bench
+    * scale: recomputing the distinct-endpoint node set a second time) is wasted
+    * work (r06).
+    */
+  def blockWeightsW(partW: DataFrame, k: Int): Array[Long] = {
+    val rows = partW
       .groupBy(col("block"))
       .agg(sum(col("weight")).as("weight"))
       .collect()

@@ -128,7 +128,10 @@ final class Partitioner private (
         targetM = Partitioner.DriverEdgeCap, resume = resume,
         hubDegThreshold = hubThreshold,
         largeDegThreshold = preset.lpLargeDegreeThreshold,
-        maxNumNeighbors = preset.lpMaxNumNeighbors)
+        maxNumNeighbors = preset.lpMaxNumNeighbors,
+        // the default node set IS the distinct edge endpoints — no isolated nodes
+        // at level 0 by construction, so the scan would always find none
+        noIsolatedFinest = nodeWeights.isEmpty)
     }
 
     // 2. coarsest graph -> driver, dense-relabel sparse coarse ids, partition.
@@ -148,10 +151,24 @@ final class Partitioner private (
           Partitioner.ceilLog2(loaded.select(col("block")).distinct().count()))
         loaded
       case _ =>
-        val coarseNodes = cNodeW.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        // the two bounded handoff collects are independent actions — overlap their
+        // fixed job costs (guide §2.6); order-insensitive (nodes sorted below,
+        // edges sorted inside CsrGraph.fromEdges)
+        val (nodeRows, edgeRows) = {
+          import scala.concurrent.{Await, Future, ExecutionContext}
+          import scala.concurrent.duration.Duration
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+          implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+          try {
+            val fn = Future(cNodeW.collect())
+            val fe = Future(cEdges.collect())
+            (Await.result(fn, Duration.Inf), Await.result(fe, Duration.Inf))
+          } finally pool.shutdown()
+        }
+        val coarseNodes = nodeRows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
         val idOf = coarseNodes.iterator.map(_._1).zipWithIndex.toMap
         val vw = coarseNodes.map(_._2)
-        val coarseEdgeArr = cEdges.collect().map { r =>
+        val coarseEdgeArr = edgeRows.map { r =>
           (idOf(r.getLong(0)).toLong, idOf(r.getLong(1)).toLong, r.getLong(2))
         }
         val csr = CsrGraph.fromEdges(coarseNodes.length, coarseEdgeArr, vw)
@@ -260,8 +277,12 @@ final class Partitioner private (
         if (hubThreshold > 0L)
           Gather.prepare(fineEdges.select(col("src"), col("dst"), col("w")), hubThreshold)
         else
+          // sorted-within-partitions cache: every superstep's sort-merge gather join
+          // on dst skips re-sorting the m-row edge side (r06; one sort per level,
+          // reused by ~16 superstep joins across refine/jet/polish/pairFM)
           Gather.plain(
-            fineEdges.select(col("src"), col("dst"), col("w")).repartition(col("dst")).persist())
+            fineEdges.select(col("src"), col("dst"), col("w"))
+              .repartition(col("dst")).sortWithinPartitions(col("dst")).persist())
       val fe = ge.e
       // the level's partition rides through the whole chain as ONE weighted table
       // (node, block, weight): the nodeW join happens here once, and every stage

@@ -111,10 +111,16 @@ object Dedup {
     * shuffled and hashed orders of magnitude more than needed. Result-identical —
     * sizes and intersections are only ever consumed for pair members.
     */
-  def verifyJaccard(docs: DataFrame, pairs: DataFrame, w: Int = 3, seed: Long = 42L): DataFrame = {
+  def verifyJaccard(docs: DataFrame, pairs0: DataFrame, w: Int = 3, seed: Long = 42L): DataFrame = {
+    // the pair table is referenced four times below (member extraction x2, the two
+    // set-attach joins) and is typically the OUTPUT of the full LSH candidate
+    // pipeline — cache it so that pipeline executes once, not four times (r06,
+    // guide §5 "reused and recomputing is more expensive"); likewise the shingle
+    // sets feed both attach joins. No distinct() on members: the left_semi join
+    // below dedups for free (one exchange + agg removed, guide §2.4).
+    val pairs = pairs0.persist()
     val members = pairs.select(col("a").as("doc_id"))
       .unionAll(pairs.select(col("b").as("doc_id")))
-      .distinct()
     // The shingle set is a per-document ARRAY at parse time — the explode/groupBy
     // round-trip of the shingle stream (sizes aggregation + pair-keyed intersection
     // aggregation + two size-attach joins) is unnecessary for verification: attach
@@ -125,6 +131,7 @@ object Dedup {
     // same integers (sets are array_distinct'd, never null, never empty).
     val sets = docs.join(members, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), shingleSet(col("text"), w, seed).as("sh"))
+      .persist()
     pairs
       .join(sets.select(col("doc_id").as("a"), col("sh").as("shA")), "a")
       .join(sets.select(col("doc_id").as("b"), col("sh").as("shB")), "b")

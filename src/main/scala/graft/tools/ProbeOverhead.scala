@@ -105,6 +105,29 @@ object ProbeOverhead {
     phase("triangles") {
       graft.ops.Triangles.count(spark, Graphs.copurchase(spark, sfDir)).first()
     }
+    val partRes = phase("partition_k16") {
+      graft.partition.Partitioner(edges).setK(16).setEpsilon(0.03).setSeed(42L)
+        .computePartition(spark)
+    }
+    phase("refine5") {
+      val nodeW = edges.select(col("src").as("node")).distinct()
+        .withColumn("weight", lit(1L))
+      val eRef = edges.repartition(col("dst")).persist()
+      graft.partition.DistRefiner.lpRefine(
+        spark, eRef, nodeW, partRes.assignment, 16, partRes.ctx.maxBlockWeight,
+        maxIter = 5, seed = 7L).count()
+    }
+    phase("minhash_dedup") {
+      graft.textops.Dedup.verifyJaccard(
+        spark.read.parquet(s"$sfDir/documents.parquet"),
+        graft.textops.Dedup.lshCandidates(spark.read.parquet(s"$sfDir/documents.parquet"))
+      ).filter(col("jaccard") >= 0.5).count()
+    }
+    phase("knn_brute") {
+      val v = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      graft.sim.Similarity.bruteForceKnn(v.filter(col("id") < 10), v, 5).count()
+    }
     spark.stop()
   }
 }
