@@ -114,18 +114,42 @@ object CsrGraph {
     * Deterministic: neighbors sorted ascending per node.
     */
   def fromEdges(n: Int, edges: Array[(Long, Long, Long)], nodeWeights: Array[Long] = null): CsrGraph = {
+    val m = edges.length
     val deg = new Array[Int](n)
-    edges.foreach { case (s, _, _) => deg(s.toInt) += 1 }
-    val xadj = new Array[Int](n + 1)
     var i = 0
+    while (i < m) { deg(edges(i)._1.toInt) += 1; i += 1 }
+    val xadj = new Array[Int](n + 1)
+    i = 0
     while (i < n) { xadj(i + 1) = xadj(i) + deg(i); i += 1 }
-    val adjncy = new Array[Int](edges.length)
-    val adjwgt = new Array[Long](edges.length)
+    // sort for determinism: place each edge into its src slice in input order,
+    // encoding (dst, input index) into one primitive long (both < 2^31: ids are
+    // dense indices < n, m is an array length); a per-slice Arrays.sort then
+    // yields dst-ascending with input-order ties — exactly the order the previous
+    // stable tuple sortBy on (src, dst) produced, without boxing a tuple per edge
+    // (fromEdges is hot: one call per FM/flow pair region per round)
     val pos = java.util.Arrays.copyOf(xadj, n)
-    // sort for determinism
-    val sorted = edges.sortBy(e => (e._1, e._2))
-    sorted.foreach { case (s, d, w) =>
-      val p = pos(s.toInt); adjncy(p) = d.toInt; adjwgt(p) = w; pos(s.toInt) = p + 1
+    val enc = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      val e = edges(i)
+      val s = e._1.toInt
+      enc(pos(s)) = (e._2 << 31) | i.toLong
+      pos(s) += 1
+      i += 1
+    }
+    var u = 0
+    while (u < n) {
+      if (xadj(u + 1) - xadj(u) > 1) java.util.Arrays.sort(enc, xadj(u), xadj(u + 1))
+      u += 1
+    }
+    val adjncy = new Array[Int](m)
+    val adjwgt = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      val v = enc(i)
+      adjncy(i) = (v >>> 31).toInt
+      adjwgt(i) = edges((v & 0x7fffffffL).toInt)._3
+      i += 1
     }
     val vw = if (nodeWeights != null) nodeWeights else Array.fill(n)(1L)
     new CsrGraph(xadj, adjncy, adjwgt, vw)

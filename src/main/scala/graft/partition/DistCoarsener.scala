@@ -518,17 +518,24 @@ object DistCoarsener {
         * isolated-node scan (one m-row anti-join + count job, provably empty).
         * Coarse levels always check: contraction can isolate a coarse node.
         */
-      noIsolatedFinest: Boolean = false
+      noIsolatedFinest: Boolean = false,
+      /** Caller-known (n, totalWeight) of the finest node set — skips one
+        * aggregation job the Partitioner has already run.
+        */
+      knownStats: Option[(Long, Long)] = None
   ): (Seq[DistCoarsener.Level], DataFrame, DataFrame) = {
     // callers pass already-checkpointed inputs (Partitioner does); re-checkpointing
     // here would add two redundant full-table write jobs per run
     var edges = edges0
     var nodeW = nodeW0
-    // n and totalW in one aggregation job (was two driver actions)
-    val s0 = nodeW.agg(count(lit(1)).as("n"), sum(col("weight")).as("tw")).first()
-    var n = s0.getLong(0)
+    // n and totalW in one aggregation job (was two driver actions; callers that
+    // already aggregated them pass knownStats and skip the job entirely)
+    val (n0, totalW) = knownStats.getOrElse {
+      val s0 = nodeW.agg(count(lit(1)).as("n"), sum(col("weight")).as("tw")).first()
+      (s0.getLong(0), s0.getLong(1))
+    }
+    var n = n0
     var m = if (targetM == Long.MaxValue) 0L else edges.count()
-    val totalW = s0.getLong(1)
     val levels = scala.collection.mutable.ArrayBuffer.empty[Level]
     var converged = false
     val C = 2000L
