@@ -80,14 +80,20 @@ object DistCoarsener {
         Gather.plain(
           gatherInput.repartition(col("dst")).sortWithinPartitions(col("dst")).persist())
     val e = ge.e
-    var labels = Ckpt(nodeW.select(col("node"), col("node").as("label"), col("weight")), "lpc-labels")
+    // entry labels as a LAZY local checkpoint (r06: was a parquet write+read) —
+    // superstep 0's staging job materializes it and its several superstep-0
+    // consumers (cluster weights, payload join, gather labels, active state) read
+    // the shared blocks; released once superstep 1's staging lands, like every
+    // other staged table
+    var labels = nodeW.select(col("node"), col("node").as("label"), col("weight"))
+      .localCheckpoint(false)
 
     var it = 0
     var quiet = 0
     // block-backed staging/commit tables awaiting release (superseded once the NEXT
     // superstep's staged blocks land; tables that end the loop are instead
     // reclaimed by the ContextCleaner when the caller drops the DataFrame)
-    var staleBlocks: Seq[DataFrame] = Nil
+    var staleBlocks: Seq[DataFrame] = Seq(labels)
     while (it < maxIter && quiet < 2) {
       // alternating deterministic halves (same rationale as community LP: decorrelate
       // simultaneous neighbor moves, reproducibly)
@@ -101,18 +107,18 @@ object DistCoarsener {
       val clusterW = labels.groupBy(col("label")).agg(sum(col("weight")).as("cw"))
 
       // gather: per (active node, neighbor label) summed edge weight. Agg-then-join
-      // shape: the m-row stream shuffles once into the (src, nl) aggregation; the
-      // n-row active state joins the (already small) aggregate after. Exchange
-      // discipline (r06, guide §2.4): the cluster weight rides THROUGH the gather as
-      // label payload (one n-row join by label) so the cap pre-filter is a plain
-      // filter, not an m-row join by nl — and the explicit repartition(src) is the
-      // superstep's only m-row exchange, reused by the (src, nl) aggregation, the
-      // active join and the argmax below (each used to re-exchange the stream).
+      // shape: the m-row stream partially aggregates map-side into the (src, nl)
+      // exchange (the combine densifies as clustering converges and neighbors share
+      // labels), and the n-row active state joins the aggregate after. r06: the
+      // cluster weight rides THROUGH the gather as label payload (one n-row join by
+      // label) so the cap pre-filter is a plain filter, not a second m-row-scale
+      // join by nl. (An explicit repartition(src) replacing the (src, nl) exchange
+      // was A/B'd and reverted — it ships the raw stream with no map-side combine
+      // and lands a hub's whole neighborhood in one partition; guide §2.3.)
       val ratings = Gather
         .joinLabels(ge,
           labels.join(clusterW, "label")
             .select(col("node"), col("label").as("nl"), col("cw")))
-        .repartition(col("src"))
         .groupBy(col("src"), col("nl"))
         .agg(sum(col("w")).as("rating"), max(col("cw")).as("cw")) // cw constant per nl
         .join(

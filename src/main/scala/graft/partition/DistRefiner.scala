@@ -135,15 +135,18 @@ object DistRefiner {
       val active = part.filter(parity === 0)
 
       // gather: per (active node, adjacent block) summed edge weight (agg-then-join:
-      // m-row stream shuffles once; the n-row active state joins the aggregate), then
-      // ONE aggregation yielding both the internal weight and the best external block.
-      // The explicit repartition(src) is the superstep's ONLY m-row exchange (r06,
-      // guide §2.4): hash-partitioning by src lets the (src, nb) aggregation, the
-      // active-state join AND the per-node argmax below all reuse the same layout —
-      // without it each of those re-exchanged the stream ((src, nb), then src).
+      // the m-row stream is partially aggregated MAP-SIDE down to <= k rows per
+      // (partition, src) — nb is a block id, so the combine is dense — before any
+      // exchange; the (src, nb) exchange then carries ~n*k rows and spreads a hub
+      // src's aggregation across <= k partitions, and the n-row active state joins
+      // the aggregate). An explicit repartition(src) before the aggregation was
+      // A/B'd in r06 (one exchange instead of two, faster at bench scale) and
+      // REVERTED: it shuffles the raw m-row stream and lands a hub's whole
+      // neighborhood in ONE partition with no map-side combine — guide §2.3
+      // ("aggregate before you shuffle") beats §2.4 here because nb < k makes the
+      // partial aggregation dense.
       val ratings = Gather
         .joinLabels(ge, part.select(col("node"), col("block").as("nb")))
-        .repartition(col("src"))
         .groupBy(col("src"), col("nb"))
         .agg(sum(col("w")).as("rating"))
         .join(
@@ -379,8 +382,7 @@ object DistRefiner {
       // (map-side partial agg), never a second time for the src-side join.
       val ratings = Gather
         .joinLabels(ge, part.select(col("node"), col("block").as("nb")))
-        .repartition(col("src")) // the round's only m-row exchange (r06, guide §2.4)
-        .groupBy(col("src"), col("nb"))
+        .groupBy(col("src"), col("nb")) // dense map-side partial (nb < k) — see lpRefineCaps
         .agg(sum(col("w")).as("rating"))
         .join(
           part.select(col("node").as("src"), col("block").as("cur"), col("weight").as("nw")),
@@ -450,8 +452,7 @@ object DistRefiner {
       // then the (small) tentative mover table joins the aggregate
       val recomputed = Gather
         .joinLabels(ge, tentLabels.select(col("node"), col("tblock").as("tnb")))
-        .repartition(col("src")) // same single-exchange gather shape as phase 1
-        .groupBy(col("src"), col("tnb"))
+        .groupBy(col("src"), col("tnb")) // dense map-side partial (tnb < k) — see lpRefineCaps
         .agg(sum(col("w")).as("tw"))
         .join(tentative.select(col("node").as("src"), col("cur"), col("cand"), col("nw")), "src")
         .groupBy(col("src"), col("cur"), col("cand"), col("nw"))
@@ -911,8 +912,7 @@ object DistRefiner {
         // alternatives when a residual fills up
         val ratings = edges
           .join(part.select(col("node").as("dst"), col("block").as("nb")), "dst")
-          .repartition(col("src")) // single m-row exchange (r06, guide §2.4)
-          .groupBy(col("src"), col("nb"))
+          .groupBy(col("src"), col("nb")) // dense map-side partial (nb < k)
           .agg(sum(col("w")).as("rating"))
           .join(members, "src")
         val internal = ratings.filter(col("nb") === col("cur"))
@@ -1074,8 +1074,7 @@ object DistRefiner {
           .select(col("node").as("src"), col("block").as("cur"), col("weight").as("nw"))
         val ratings = edges
           .join(part.select(col("node").as("dst"), col("block").as("nb")), "dst")
-          .repartition(col("src")) // single m-row exchange (r06, guide §2.4)
-          .groupBy(col("src"), col("nb"))
+          .groupBy(col("src"), col("nb")) // dense map-side partial (nb < k)
           .agg(sum(col("w")).as("rating"))
           .join(members, "src")
         val internal = ratings.filter(col("nb") === col("cur"))

@@ -73,7 +73,11 @@ object Preset {
   val Strong: Preset =
     Preset("strong", 5, 5, 5, 3, DistExtend.MinExtendK, DistExtend.CExt, pairFmRadius = 3,
       vcycles = 5, ilsKicks = 96)
-  val LargeK: Preset = Preset("largek", 5, 2, 3, 1, 16, 128L)
+  // ilsKicks pinned explicitly (r06, ADVICE): per-kick polish cost scales with k,
+  // and the sweep that justified the case-class default of 48 was measured at k=16
+  // only — largek (k in the thousands) keeps the pre-sweep depth of 12 so preset
+  // behavior cannot drift with the default.
+  val LargeK: Preset = Preset("largek", 5, 2, 3, 1, 16, 128L, ilsKicks = 12)
 
   def byName(name: String): Preset = name match {
     case "default" => Default
