@@ -576,7 +576,6 @@ object DistCoarsener {
             else chainIsolated(spark, lpOut,
               nodeW, edges, cap, seed + 977L * (levels.length + 1))
           var level = contract(edges, nodeW, clustering)
-          var ce = Ckpt(level.coarseEdges, "cedges")
           // the coarse-node count rides the cnodew checkpoint write as an
           // Observation (r06: was a separate count job here AND a second identical
           // count at the bottom of the loop)
@@ -585,8 +584,25 @@ object DistCoarsener {
             val out = Ckpt(df.observe(obs, count(lit(1)).as("c")), tag)
             (out, obs.get("c").asInstanceOf[Number].longValue)
           }
-          var (cw, cnNow) = ckptCounted(level.coarseNodeW, "cnodew")
-          var mp = Ckpt(level.mapping, "mapping")
+          // the three level-artifact writes are independent actions over the same
+          // (cached) clustering blocks — submit them concurrently so their fixed
+          // job costs overlap (guide §2.6)
+          def ckptLevel(lv: Level): (DataFrame, (DataFrame, Long), DataFrame) = {
+            import scala.concurrent.{Await, Future, ExecutionContext}
+            import scala.concurrent.duration.Duration
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+            implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+            try {
+              val fe = Future(Ckpt(lv.coarseEdges, "cedges"))
+              val fw = Future(ckptCounted(lv.coarseNodeW, "cnodew"))
+              val fm = Future(Ckpt(lv.mapping, "mapping"))
+              (Await.result(fe, Duration.Inf), Await.result(fw, Duration.Inf),
+                Await.result(fm, Duration.Inf))
+            } finally pool.shutdown()
+          }
+          var (ce, cwc0, mp) = ckptLevel(level)
+          var cw = cwc0._1
+          var cnNow = cwc0._2
           // two-hop rescue (O3): if the level shrank < 50%, merge singleton clusters
           // sharing a favored cluster (reference gate, `lp_clusterer.cc:164-166`).
           // Judged from the CONTRACTED node count — the common good-shrink case
@@ -598,11 +614,11 @@ object DistCoarsener {
                 seed + levels.length),
               "twohop")
             level = contract(edges, nodeW, rescued)
-            ce = Ckpt(level.coarseEdges, "cedges")
-            val cwc = ckptCounted(level.coarseNodeW, "cnodew")
-            cw = cwc._1
-            cnNow = cwc._2
-            mp = Ckpt(level.mapping, "mapping")
+            val (ce2, cwc2, mp2) = ckptLevel(level)
+            ce = ce2
+            cw = cwc2._1
+            cnNow = cwc2._2
+            mp = mp2
             Log.info(s"two-hop rescue applied at level ${levels.length}")
           }
           // commit to the resume store LAST, so an interrupted rescue can never
