@@ -36,10 +36,13 @@ object ConnectedComponents {
     // (O(log n) rounds) never pay a mid-loop write. Blocks are released after the
     // final parquet checkpoint below.
     val statsResetEvery = 8
-    val localCkpts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // superseded rounds' staged blocks, released eagerly one round later (round
+    // t's blocks are dead as soon as round t+1's staging aggregate has run —
+    // the same staleBlocks discipline as DistCoarsener.lpCluster); a slow
+    // convergence must not pin O(rounds) copies of the pair table
+    var stale: Seq[DataFrame] = Nil
     def stageWithSig(df: DataFrame): (DataFrame, (Long, Long)) = {
       val staged = df.localCheckpoint(false)
-      localCkpts += staged
       val r = staged.agg(
         count(lit(1)).as("c"),
         coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("h")).first()
@@ -96,22 +99,26 @@ object ConnectedComponents {
           .repartition(col("u"))
           .distinct())
 
+      // the previous round's staged blocks are dead — the only jobs that read
+      // them (this round's staging aggregate) have run
+      stale.foreach(graft.util.Par.releaseLocalCkpt)
+      stale = Seq(pairs)
       converged = newSig == sig
       sig = newSig
       pairs = rewired
       it += 1
-      if (it % statsResetEvery == 0 && !converged) pairs = Ckpt(pairs, "cc-pairs")
+      if (it % statsResetEvery == 0 && !converged) {
+        val ck = Ckpt(pairs, "cc-pairs") // the write reads the staged blocks
+        stale = stale :+ pairs
+        pairs = ck
+      }
     }
 
     // final star forest parquet-checkpointed once (flat scan + fresh leaf stats for
-    // the caller, exactly as before), after which the staging blocks are released
+    // the caller, exactly as before), after which the remaining staging blocks are
+    // released (releaseLocalCkpt is a no-op on parquet-backed frames)
     val finalPairs = Ckpt(pairs.select(col("u"), col("v")), "cc-pairs-out")
-    localCkpts.foreach { df =>
-      df.queryExecution.analyzed match {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-        case _ =>
-      }
-    }
+    (stale :+ pairs).foreach(graft.util.Par.releaseLocalCkpt)
     allNodes
       .join(finalPairs.select(col("u").as("node"), col("v").as("root")), Seq("node"), "left")
       .select(col("node"), coalesce(col("root"), col("node")).as("component"))

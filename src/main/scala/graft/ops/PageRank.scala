@@ -57,7 +57,7 @@ object PageRank {
     // n and the dangling-node check in ONE driver action (was: count + filter-count)
     val s0 = base.agg(
       count(lit(1)).as("n"),
-      sum(when(col("outdeg") === 0L, 1L).otherwise(0L)).as("dangling")).first()
+      coalesce(sum(when(col("outdeg") === 0L, 1L).otherwise(0L)), lit(0L)).as("dangling")).first()
     val n = s0.getLong(0).toDouble
     // Dangling mass (nodes with no out-edges) is redistributed uniformly. On symmetric
     // link graphs there are none; detect that once so the common case pays no extra

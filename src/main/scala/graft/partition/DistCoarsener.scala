@@ -210,12 +210,7 @@ object DistCoarsener {
       // every job referencing the PREVIOUS superstep's block-backed tables has now
       // run (this superstep's staging aggregate AND its rollback count, whose
       // `capacity` subplan re-reads the previous labels) — release them
-      staleBlocks.foreach { df =>
-        df.queryExecution.analyzed match {
-          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-          case _ =>
-        }
-      }
+      staleBlocks.foreach(graft.util.Par.releaseLocalCkpt)
       staleBlocks = Seq(staged) ++ newCommitBlocks
       labels = newLabels
       Log.info(
@@ -588,17 +583,12 @@ object DistCoarsener {
           // (cached) clustering blocks — submit them concurrently so their fixed
           // job costs overlap (guide §2.6)
           def ckptLevel(lv: Level): (DataFrame, (DataFrame, Long), DataFrame) = {
-            import scala.concurrent.{Await, Future, ExecutionContext}
-            import scala.concurrent.duration.Duration
-            val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
-            implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-            try {
-              val fe = Future(Ckpt(lv.coarseEdges, "cedges"))
-              val fw = Future(ckptCounted(lv.coarseNodeW, "cnodew"))
-              val fm = Future(Ckpt(lv.mapping, "mapping"))
-              (Await.result(fe, Duration.Inf), Await.result(fw, Duration.Inf),
-                Await.result(fm, Duration.Inf))
-            } finally pool.shutdown()
+            val rs = graft.util.Par.awaitAll[Any](Seq(
+              () => Ckpt(lv.coarseEdges, "cedges"),
+              () => ckptCounted(lv.coarseNodeW, "cnodew"),
+              () => Ckpt(lv.mapping, "mapping")))
+            (rs(0).asInstanceOf[DataFrame], rs(1).asInstanceOf[(DataFrame, Long)],
+              rs(2).asInstanceOf[DataFrame])
           }
           var (ce, cwc0, mp) = ckptLevel(level)
           var cw = cwc0._1

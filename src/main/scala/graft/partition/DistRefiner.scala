@@ -254,12 +254,7 @@ object DistRefiner {
     * truncated, so an evicted block cannot be recomputed).
     */
   private def releaseLocalCkpts(dfs: Seq[DataFrame]): Unit =
-    dfs.foreach { df =>
-      df.queryExecution.analyzed match {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-        case _ =>
-      }
-    }
+    dfs.foreach(graft.util.Par.releaseLocalCkpt)
 
   /** JET refiner (SURVEY O20, reference `refinement/jet/jet_refiner.cc` — a
     * bulk-synchronous refiner designed for GPUs, i.e. exactly Spark's model). Per
@@ -722,30 +717,24 @@ object DistRefiner {
         // irrelevant (CsrGraph.fromEdges sorts, ext accumulation is commutative)
         val rSrc = region.select(col("node").as("src"), col("pid"))
         val rDst = region.select(col("node").as("dst"), col("pid"))
-        val (members, internal, attach) = {
-          import scala.concurrent.{Await, Future, ExecutionContext}
-          import scala.concurrent.duration.Duration
-          val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
-          implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-          try {
-            val fm = Future(region.join(part, "node")
-              .select(col("node"), col("pid"), col("block"), col("weight"))
-              .collect()
-              .map(r => (r.getLong(0), r.getAs[Number](1).intValue(), r.getAs[Number](2).intValue(), r.getLong(3))))
-            val fi = Future(pe.join(rSrc, Seq("src", "pid")).join(rDst, Seq("dst", "pid"))
-              .select(col("src"), col("dst"), col("w"), col("pid"))
-              .collect()
-              .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getAs[Number](3).intValue())))
-            val fa = Future(pe.join(rSrc, Seq("src", "pid"))
-              .join(rDst, Seq("dst", "pid"), "left_anti")
-              .groupBy(col("src"), col("pid"), col("ds"))
-              .agg(sum(col("w")).as("att"))
-              .collect()
-              .map(r => (r.getLong(0), r.getAs[Number](1).intValue(), r.getAs[Number](2).intValue(), r.getLong(3))))
-            (Await.result(fm, Duration.Inf), Await.result(fi, Duration.Inf),
-              Await.result(fa, Duration.Inf))
-          } finally pool.shutdown()
-        }
+        val rs = graft.util.Par.awaitAll[Array[_]](Seq(
+          () => region.join(part, "node")
+            .select(col("node"), col("pid"), col("block"), col("weight"))
+            .collect()
+            .map(r => (r.getLong(0), r.getAs[Number](1).intValue(), r.getAs[Number](2).intValue(), r.getLong(3))),
+          () => pe.join(rSrc, Seq("src", "pid")).join(rDst, Seq("dst", "pid"))
+            .select(col("src"), col("dst"), col("w"), col("pid"))
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getAs[Number](3).intValue())),
+          () => pe.join(rSrc, Seq("src", "pid"))
+            .join(rDst, Seq("dst", "pid"), "left_anti")
+            .groupBy(col("src"), col("pid"), col("ds"))
+            .agg(sum(col("w")).as("att"))
+            .collect()
+            .map(r => (r.getLong(0), r.getAs[Number](1).intValue(), r.getAs[Number](2).intValue(), r.getLong(3)))))
+        val members = rs(0).asInstanceOf[Array[(Long, Int, Int, Long)]]
+        val internal = rs(1).asInstanceOf[Array[(Long, Long, Long, Int)]]
+        val attach = rs(2).asInstanceOf[Array[(Long, Int, Int, Long)]]
 
         // 4. driver FM + flow per pair — pairs are INDEPENDENT (a matching: disjoint
         // blocks, disjoint nodes), so they run on a local pool; this driver stage is

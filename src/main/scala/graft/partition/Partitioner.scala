@@ -104,12 +104,18 @@ final class Partitioner private (
       a
     }
     // entry checkpoint: flat lineage + leaf stats for everything downstream. When
-    // the caller already persisted the edge table (the bench materializes and
-    // counts it), the cache provides both — re-writing the full edge table to
-    // parquet per invocation is pure I/O (r06; 3 bench reps re-wrote it 3x).
+    // the caller already persisted the edge table at a DISK-backed level (the
+    // bench materializes and counts a MEMORY_AND_DISK cache), the cache provides
+    // both — re-writing the full edge table to parquet per invocation is pure
+    // I/O (r06; 3 bench reps re-wrote it 3x). Memory-only caches do NOT qualify:
+    // block eviction would silently re-execute the caller's full upstream build
+    // once per downstream job, so those still go through the parquet checkpoint.
+    // (If the cache is registered but not yet materialized, the first job here —
+    // the nodeW checkpoint write — materializes it before any join planning of
+    // consequence.)
     val eIn = edges.select(col("src"), col("dst"), col("w"))
     val e =
-      if (edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE) eIn
+      if (edges.storageLevel.useDisk) eIn
       else Ckpt(eIn, "edges")
     val nodeW = Ckpt(
       nodeWeights.getOrElse(
@@ -163,17 +169,8 @@ final class Partitioner private (
         // the two bounded handoff collects are independent actions — overlap their
         // fixed job costs (guide §2.6); order-insensitive (nodes sorted below,
         // edges sorted inside CsrGraph.fromEdges)
-        val (nodeRows, edgeRows) = {
-          import scala.concurrent.{Await, Future, ExecutionContext}
-          import scala.concurrent.duration.Duration
-          val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
-          implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-          try {
-            val fn = Future(cNodeW.collect())
-            val fe = Future(cEdges.collect())
-            (Await.result(fn, Duration.Inf), Await.result(fe, Duration.Inf))
-          } finally pool.shutdown()
-        }
+        val Seq(nodeRows, edgeRows) =
+          graft.util.Par.awaitAll(Seq(() => cNodeW.collect(), () => cEdges.collect()))
         val coarseNodes = nodeRows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
         val idOf = coarseNodes.iterator.map(_._1).zipWithIndex.toMap
         val vw = coarseNodes.map(_._2)

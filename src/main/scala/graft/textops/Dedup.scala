@@ -114,11 +114,16 @@ object Dedup {
   def verifyJaccard(docs: DataFrame, pairs0: DataFrame, w: Int = 3, seed: Long = 42L): DataFrame = {
     // the pair table is referenced four times below (member extraction x2, the two
     // set-attach joins) and is typically the OUTPUT of the full LSH candidate
-    // pipeline — cache it so that pipeline executes once, not four times (r06,
-    // guide §5 "reused and recomputing is more expensive"); likewise the shingle
-    // sets feed both attach joins. No distinct() on members: the left_semi join
-    // below dedups for free (one exchange + agg removed, guide §2.4).
-    val pairs = pairs0.persist()
+    // pipeline — materialize it once behind a LAZY localCheckpoint so that
+    // pipeline executes once, not four times (r06, guide §5); likewise the
+    // shingle sets feed both attach joins. localCheckpoint rather than persist():
+    // persist registers in the session CacheManager and nothing here could ever
+    // unpersist it (the function returns a lazy frame), so repeated calls would
+    // leak pinned blocks for the session lifetime — checkpoint blocks are
+    // reclaimed by the ContextCleaner once the returned frame is dropped. No
+    // distinct() on members: the left_semi join below dedups for free (one
+    // exchange + agg removed, guide §2.4).
+    val pairs = pairs0.localCheckpoint(false)
     val members = pairs.select(col("a").as("doc_id"))
       .unionAll(pairs.select(col("b").as("doc_id")))
     // The shingle set is a per-document ARRAY at parse time — the explode/groupBy
@@ -131,7 +136,7 @@ object Dedup {
     // same integers (sets are array_distinct'd, never null, never empty).
     val sets = docs.join(members, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), shingleSet(col("text"), w, seed).as("sh"))
-      .persist()
+      .localCheckpoint(false)
     pairs
       .join(sets.select(col("doc_id").as("a"), col("sh").as("shA")), "a")
       .join(sets.select(col("doc_id").as("b"), col("sh").as("shB")), "b")
