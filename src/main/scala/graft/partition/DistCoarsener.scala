@@ -44,7 +44,16 @@ object DistCoarsener {
       seed: Long = 42L,
       hubDegThreshold: Long = 0L,
       largeDegThreshold: Long = Long.MaxValue,
-      maxNumNeighbors: Long = Long.MaxValue
+      maxNumNeighbors: Long = Long.MaxValue,
+      /** Receives the loop-ending staged localCheckpoint frames that BACK the
+        * returned labels. The RETURNED FRAME READS THESE BLOCKS: the caller must
+        * release them (Par.releaseLocalCkpt) only after its last job consuming
+        * the clustering has run — coarsen/VCycle do so after their contraction
+        * artifacts are durably checkpointed. Callers that don't collect them
+        * (None) leave the blocks to the ContextCleaner, which reclaims on GC —
+        * correct but unpredictable timing (the persist-hygiene flake, r06).
+        */
+      staleOut: Option[scala.collection.mutable.Buffer[DataFrame]] = None
   ): DataFrame = {
     val base = edges.select(col("src"), col("dst"), col("w"))
     // High-degree LP filters (SURVEY P4, reference `label_propagation.h:106-118`,
@@ -219,6 +228,7 @@ object DistCoarsener {
       it += 1
     }
     e.unpersist()
+    staleOut.foreach(_ ++= staleBlocks)
     labels.select(col("node"), col("label"))
   }
 
@@ -563,9 +573,11 @@ object DistCoarsener {
           // cannot shrink them, so without this an isolated-heavy graph (dangling
           // URLs are ~half a crawl's vertex set) never coarsens its singleton tail.
           // Across levels the pairs re-chain into 4s, 8s, ... until the cap binds.
+          val lpStale = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
           val lpOut = lpCluster(spark, edges, nodeW, cap, maxIter = 5,
             seed = seed + levels.length, hubDegThreshold = hubDegThreshold,
-            largeDegThreshold = largeDegThreshold, maxNumNeighbors = maxNumNeighbors)
+            largeDegThreshold = largeDegThreshold, maxNumNeighbors = maxNumNeighbors,
+            staleOut = Some(lpStale))
           val clustering =
             if (noIsolatedFinest && levels.isEmpty) lpOut
             else chainIsolated(spark, lpOut,
@@ -593,6 +605,11 @@ object DistCoarsener {
           var (ce, cwc0, mp) = ckptLevel(level)
           var cw = cwc0._1
           var cnNow = cwc0._2
+          // all three level artifacts are durable — nothing reads the clustering
+          // again (the two-hop branch below re-derives it from the mp parquet), so
+          // the staged blocks backing it are released deterministically here
+          // instead of waiting for the ContextCleaner (r06 persist-hygiene fix)
+          lpStale.foreach(graft.util.Par.releaseLocalCkpt)
           // two-hop rescue (O3): if the level shrank < 50%, merge singleton clusters
           // sharing a favored cluster (reference gate, `lp_clusterer.cc:164-166`).
           // Judged from the CONTRACTED node count — the common good-shrink case

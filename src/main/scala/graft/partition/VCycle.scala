@@ -104,13 +104,18 @@ object VCycle {
       // nodes from DIFFERENT blocks, breaking the block-purity invariant the whole
       // cycle rests on. Those boundary singletons are exactly the nodes the coarse
       // search wants individually movable.
+      val lpStale = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
       val clustering =
-        DistCoarsener.lpCluster(spark, eSame, curNodeW, cap, maxIter = 3, seed = seed + lvl)
+        DistCoarsener.lpCluster(spark, eSame, curNodeW, cap, maxIter = 3, seed = seed + lvl,
+          staleOut = Some(lpStale))
       // contract over the FULL edge set: cross-block edges survive as coarse edges
       val level = DistCoarsener.contract(curEdges, curNodeW, clustering)
       val ce = Ckpt(level.coarseEdges, "vc-cedges")
       val cw = Ckpt(level.coarseNodeW, "vc-cnodew")
       val mp = Ckpt(level.mapping, "vc-mapping")
+      // the three writes were the clustering's last consumers — release its
+      // staged blocks deterministically (r06 persist-hygiene fix)
+      lpStale.foreach(graft.util.Par.releaseLocalCkpt)
       val cn = cw.count()
       Log.info(s"vcycle restricted level $lvl: n=$n -> $cn")
       if (cn >= n * 0.95) converged = true
